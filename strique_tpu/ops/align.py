@@ -1,0 +1,182 @@
+"""TPU semi-global affine alignment of a flank template into a raw signal.
+
+Replaces the reference's native SeqAn DP engine (reference
+src/align_raw.h:106-158, src/score_distance.h:115-122) with an
+XLA-compiled column scan:
+
+  * the DP runs as ``lax.scan`` over signal positions (columns), carrying
+    the three Gotoh state vectors over template rows;
+  * the within-column vertical-gap recursion (sequential in a naive
+    formulation) is folded into an associative prefix-max
+    (``lax.cummax``), keeping every column fully vectorized on the VPU;
+  * compact traceback pointers (4 bits/cell in a uint8) stream to HBM;
+  * the warping positions of the template are recovered by an on-device
+    ``lax.while_loop`` traceback emitting one record per template element.
+
+Free end gaps on the signal axis only (template fully aligned), matching
+``AlignConfig<true,false,false,true>`` of the reference
+(src/align_raw.h:134-135).  Tie-breaking: leftmost end column, matrix
+preference M > V > H, gap extension over opening.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .reference import AlignParams, MAT_M, MAT_H, MAT_V
+
+NEG = jnp.float32(-1e30)
+
+
+@partial(jax.jit, static_argnames=("params", "with_traceback"))
+def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: bool = True):
+    """Run the DP over ``signal`` (padded to static length) vs ``template``.
+
+    Args:
+      signal: (N,) float32, padded; only the first ``n_actual`` entries are real.
+      n_actual: scalar int32, true signal length.
+      template: (M,) float32 synthetic flank signal.
+    Returns dict with ``score`` (f32), ``j_end`` (i32), and, when
+    ``with_traceback``, ``is_gap`` (M, bool) / ``jpos`` (M, i32): per
+    template element, whether it was consumed in a vertical gap and the
+    signal index it maps to (left-neighbor index for gap elements).
+    """
+    signal = signal.astype(jnp.float32)
+    template = template.astype(jnp.float32)
+    m = template.shape[0]
+    go_h = jnp.float32(params.gap_open_h)
+    go_v = jnp.float32(params.gap_open_v)
+    ge_h = jnp.float32(params.gap_extension_h)
+    ge_v = jnp.float32(params.gap_extension_v)
+    off = jnp.float32(params.dist_offset)
+    dmin = jnp.float32(params.dist_min)
+    g = jnp.maximum(ge_v, go_v)
+    idx = jnp.arange(m + 1, dtype=jnp.float32)
+
+    # column j=0
+    S0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), go_v + ge_v * jnp.arange(m, dtype=jnp.float32)])
+    Ih0 = jnp.full((m + 1,), NEG)
+    Iv0 = S0.at[0].set(NEG)
+
+    def step(carry, xj):
+        S, Ih, Iv = carry
+        aj, j = xj
+        diff = jnp.abs(aj - template)
+        sc = jnp.maximum(off - jnp.power(diff, jnp.float32(1.2)), dmin)
+        newM = jnp.concatenate([jnp.full((1,), NEG), S[:-1] + sc])
+        ih_ext = Ih + ge_h
+        ih_open = S + go_h
+        newIh = jnp.maximum(ih_ext, ih_open).at[0].set(NEG)
+        Q = jnp.maximum(newM, newIh).at[0].set(0.0)
+        c = Q + go_v - (idx + 1.0) * g
+        cmax = jax.lax.cummax(c)
+        newIv = jnp.concatenate([jnp.full((1,), NEG), cmax[:-1] + idx[1:] * g])
+        newS = jnp.maximum(jnp.maximum(newM, newIh), newIv).at[0].set(0.0)
+        # best-matrix bits with preference M > V > H
+        which = jnp.where(newM >= newS, MAT_M, jnp.where(newIv >= newS, MAT_V, MAT_H)).astype(jnp.uint8)
+        pb = which[1:]
+        pb = pb | ((ih_ext[1:] >= ih_open[1:]).astype(jnp.uint8) << 2)
+        sv_prev = jnp.maximum(Q, newIv).at[0].set(0.0)[:-1]
+        pb = pb | ((newIv[:-1] + ge_v >= sv_prev + go_v).astype(jnp.uint8) << 3)
+        bottom = jnp.where(j <= n_actual, newS[m], NEG)
+        ys = (pb, bottom) if with_traceback else (bottom,)
+        return (newS, newIh, newIv), ys
+
+    n = signal.shape[0]
+    cols = jnp.arange(1, n + 1, dtype=jnp.int32)
+    carry, ys = jax.lax.scan(step, (S0, Ih0, Iv0), (signal, cols))
+    if with_traceback:
+        ptrs, bottom = ys
+    else:
+        (bottom,) = ys
+    bottom = jnp.concatenate([S0[m:], bottom])  # include column 0
+    j_end = jnp.argmax(bottom).astype(jnp.int32)
+    score = bottom[j_end]
+    out = {"score": score, "j_end": j_end}
+    if not with_traceback:
+        return out
+
+    # --- traceback -------------------------------------------------------
+    def lookup(jc, ic):
+        byte = jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1], jnp.uint8(MAT_V | 8))
+        return byte
+
+    def cond(state):
+        i, j, cur, is_gap, jpos = state
+        return i > 0
+
+    def body(state):
+        i, j, cur, is_gap, jpos = state
+        byte = lookup(j, i)
+        is_m = cur == MAT_M
+        is_h = cur == MAT_H
+        is_v = cur == MAT_V
+        # template element i-1 is consumed on diagonal or vertical moves
+        consume = is_m | is_v
+        is_gap = jnp.where(consume, is_gap.at[i - 1].set(is_v), is_gap)
+        jpos = jnp.where(consume, jpos.at[i - 1].set(j - 1), jpos)
+        ni = jnp.where(is_h, i, i - 1)
+        nj = jnp.where(is_v, j, j - 1)
+        ext = jnp.where(is_h, (byte >> 2) & 1, (byte >> 3) & 1)
+        stay = (~is_m) & (ext == 1)
+        nbyte = lookup(nj, ni)
+        ncur = jnp.where(stay, cur, jnp.where(ni > 0, (nbyte & 3).astype(jnp.int32), MAT_M))
+        return ni, nj, ncur, is_gap, jpos
+
+    i0 = jnp.int32(m)
+    cur0 = (lookup(j_end, i0) & 3).astype(jnp.int32)
+    is_gap0 = jnp.zeros((m,), dtype=bool)
+    jpos0 = jnp.zeros((m,), dtype=jnp.int32)
+    _, j_begin, _, is_gap, jpos = jax.lax.while_loop(cond, body, (i0, j_end, cur0, is_gap0, jpos0))
+    out.update({"is_gap": is_gap, "jpos": jpos, "j_begin": j_begin})
+    return out
+
+
+def _nearest_positions(is_gap: np.ndarray, jpos: np.ndarray, n: int) -> np.ndarray:
+    """Per template element, the nearest signal index in alignment view space.
+
+    Replicates ``argmin(|a_idx - b_idx[k]|)`` of the reference
+    (scripts/STRique.py:540-547) without materializing view-position
+    arrays: matched elements map exactly; elements inside a vertical gap
+    run of length L at left-neighbor j map to j if (r+1) <= (L-r) for
+    in-run offset r (first-index tie-breaking of argmin), else j+1.
+    """
+    m = len(jpos)
+    pos = jpos.astype(np.int64).copy()
+    k = 0
+    while k < m:
+        if not is_gap[k]:
+            k += 1
+            continue
+        k2 = k
+        while k2 + 1 < m and is_gap[k2 + 1] and jpos[k2 + 1] == jpos[k]:
+            k2 += 1
+        L = k2 - k + 1
+        jleft = int(jpos[k])
+        for r in range(L):
+            pos[k + r] = jleft if (r + 1) <= (L - r) else jleft + 1
+        k = k2 + 1
+    return np.clip(pos, 0, n - 1)
+
+
+def detect_range(signal_padded, n_actual: int, template, params: AlignParams,
+                 pre_trim: int = 0, post_trim: int = 0):
+    """Device-aligned equivalent of reference ``__detect_range__`` (STRique.py:538-548).
+
+    Returns (per-sample score, segment_begin, segment_end) in signal coords.
+    """
+    res = align_scan(jnp.asarray(signal_padded), jnp.int32(n_actual), jnp.asarray(template), params)
+    is_gap = np.asarray(res["is_gap"])
+    jpos = np.asarray(res["jpos"])
+    pos = _nearest_positions(is_gap, jpos, int(n_actual))
+    seg_begin = int(pos[0])
+    seg_end = int(pos[-1])
+    score = float(res["score"])
+    if seg_end > seg_begin:
+        score = score / (seg_end - seg_begin)
+    else:
+        score = 0.0
+    return score, int(pos[pre_trim]), int(pos[len(pos) - 1 - post_trim])

@@ -1,0 +1,132 @@
+"""Dense log-space Viterbi decoding on TPU.
+
+Replaces pomegranate's Cython silent-state Viterbi (invoked at reference
+scripts/STRique.py:434 and :493) with a max-plus scan over a dense
+log-transition matrix produced by the HMM compiler
+(:mod:`strique_tpu.hmm.graph` eliminates silent states at build time, so
+the runtime recursion is a single fused broadcast-add + max per step on
+the VPU).  Backpointers stream to HBM as int16; the path is recovered by
+a reverse ``lax.scan`` of gathers on device.
+
+Emissions are computed on the fly per time step from per-state
+(mu, sigma) / uniform constants — no (T, S) emission matrix is ever
+materialized in HBM.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-1e30)
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def emission_logp(x, mu, sigma, is_uniform, log_uni):
+    """Per-state emission log-prob of scalar/vector observation ``x``."""
+    norm = -0.5 * _LOG2PI - jnp.log(sigma) - 0.5 * jnp.square((x - mu) / sigma)
+    return jnp.where(is_uniform, log_uni, norm)
+
+
+@partial(jax.jit, static_argnames=())
+def viterbi_scan(obs, t_actual, log_start, log_trans, log_end, mu, sigma, is_uniform, log_uni):
+    """Viterbi decode of ``obs`` (padded to static T) over S states.
+
+    Args:
+      obs: (T,) float32 observations; entries at t >= t_actual are padding.
+      t_actual: scalar int32 true length (>= 1).
+      log_start/log_end: (S,) float32. log_trans: (S, S) float32, row=source.
+    Returns (logp, path): float32 Viterbi log-probability and (T,) int32
+    state path (entries beyond t_actual repeat the final state).
+    Ties break towards the lowest state index.
+    """
+    S = log_start.shape[0]
+    obs = obs.astype(jnp.float32)
+    iota = jnp.arange(S, dtype=jnp.int32)
+
+    score0 = log_start + emission_logp(obs[0], mu, sigma, is_uniform, log_uni)
+
+    def step(score, xt):
+        x, t = xt
+        cand = score[:, None] + log_trans  # (u, v)
+        best = jnp.max(cand, axis=0)
+        bp = jnp.argmax(cand, axis=0).astype(jnp.int16)
+        new = best + emission_logp(x, mu, sigma, is_uniform, log_uni)
+        live = t < t_actual
+        score = jnp.where(live, new, score)
+        bp = jnp.where(live, bp, iota.astype(jnp.int16))
+        return score, bp
+
+    ts = jnp.arange(1, obs.shape[0], dtype=jnp.int32)
+    score, bps = jax.lax.scan(step, score0, (obs[1:], ts))
+    final = score + log_end
+    last = jnp.argmax(final).astype(jnp.int32)
+    logp = final[last]
+
+    def back(state, bp_t):
+        prev = bp_t[state].astype(jnp.int32)
+        return prev, state
+
+    first, rev_path = jax.lax.scan(back, last, bps, reverse=True)
+    path = jnp.concatenate([first[None], rev_path])
+    return logp, path
+
+
+def path_logp_f64(obs: np.ndarray, path: np.ndarray, chm) -> float:
+    """Recompute the log-probability of a decoded path in float64 on host.
+
+    Matches pomegranate's float64 accumulation (sequential in time) given
+    the same path, so reported log_p values track the reference closely.
+    """
+    obs = np.asarray(obs, dtype=np.float64)
+    path = np.asarray(path)[: len(obs)]
+    lp = chm.log_start[path[0]]
+    emit = chm.emission_logp(obs)
+    lp += emit[0, path[0]]
+    for t in range(1, len(obs)):
+        lp += chm.log_trans[path[t - 1], path[t]] + emit[t, path[t]]
+    lp += chm.log_end[path[-1]]
+    return float(lp)
+
+
+# ---------------------------------------------------------------------------
+# decode helpers
+# ---------------------------------------------------------------------------
+
+def count_repeats(path: np.ndarray, t_actual: int, chm) -> int:
+    """Repeat count from a flanked-HMM path (reference STRique.py:374-378,433-441).
+
+    count = visits of the d1/d2 dummy states - repeat_offset + flanking_count.
+    """
+    path = np.asarray(path)[:t_actual]
+    visits = int(chm.meta["count_states"][path].sum())
+    return visits - chm.meta["repeat_offset"] + chm.meta["flanking_count"]
+
+
+def repeat_sample_mask(path: np.ndarray, t_actual: int, chm) -> np.ndarray:
+    """Boolean mask of samples decoded into repeat states (reference :607-608)."""
+    path = np.asarray(path)[:t_actual]
+    return chm.meta["repeat_states"][path]
+
+
+def mod_pattern(path: np.ndarray, t_actual: int, chm) -> str:
+    """Methylation pattern string from a mod-HMM path (reference :492-500).
+
+    Samples between s0/e0 anchors form one repeat unit; the unit's first
+    state decides '1' (mod) vs '0' (canonical).
+    """
+    path = np.asarray(path)[:t_actual]
+    anchor = chm.meta["anchor_states"][path]
+    mod = chm.meta["mod_states"][path]
+    out = []
+    in_unit = False
+    for t in range(len(path)):
+        if anchor[t]:
+            in_unit = False
+            continue
+        if not in_unit:
+            out.append("1" if mod[t] else "0")
+            in_unit = True
+    return "".join(out)

@@ -1,0 +1,103 @@
+"""End-to-end synthetic count-exactness tests.
+
+Mirrors the reference test strategy (scripts/STRique_test.py:45-124):
+synthetic signals from the pore model with a known number of inserted
+repeat units must be counted exactly.  Counts are reduced vs the
+reference's 100..300 to keep CI fast; the same code paths are exercised.
+"""
+import numpy as np
+import pytest
+
+from strique_tpu.detect.counter import RepeatCounter
+from strique_tpu.pore_model import PoreModel
+
+MODEL = "/root/reference/models/r9_4_450bps.model"
+MOD_MODEL = "/root/reference/models/r9_4_450bps_mCpG.model"
+
+PREFIX_C9 = ("CGGCAGCCGAACCCCAAACAGCCACCCGCCAGGATGCCGCCTCCTCACTCACCCACTCGCCACCGCCTGCGCC"
+             "TCCGCCGCCGCGGGCGCAGGCACCGCAACCGCAGCCCCGCCCCGGGCCCGCCCCCGGGCCCGCCCCGACCACGCCCC")
+SUFFIX_C9 = ("TAGCGCGCGACTCCTGAGTTCCAGAGCTTGCTACAGGCTGCGGTTGTTTCCCTCCTTGTTTTCTTCTGGTTAA"
+             "TCTTTATCAGGTCTTTTCTTGTTCACCCTCAGCGAGTACTGTGAGAGCAAGTAGTGGGGAGAGAGGGTGGGAAAAAC")
+PREFIX_FMR1 = ("AGCGGGCCGGGGGTTCGGCCTCAGTCAGGCGCTCAGCTCCGTTTCGGTTTCACTTCCGGTGGAGGGCCGCC"
+               "TCTGAGCGGGCGGCGGGCCGACGGCGAGCGCGGGCGGCGGCGGTGACGGAGGCGCCGCTGCCAGGGGGCGTGCGGCAGC")
+SUFFIX_FMR1 = ("GAGGCGGCGGCGGCGGCGGCGGCGGCGGCGGCTGGGCCTCGAGCGCCCGCAGCCCACCTCTCGGGGGCGGG"
+               "CTCCCGGCGCTAGCAGGGCTGAAGAGAAGATGGAGGAGCTGGTGGTGGAAGTGCGGGGCTCCAATGGCGCTTTCTACAA")
+
+
+@pytest.fixture(scope="module")
+def pm():
+    return PoreModel(MODEL)
+
+
+@pytest.fixture(scope="module")
+def backbone():
+    rng = np.random.default_rng(1234)
+    return "".join(rng.choice(list("ACTG"), 2000))
+
+
+def _run(counter, pm, seq, target, strand="+", samples=8, noise=False, gen_pm=None, rng=None):
+    sig = (gen_pm or pm).generate_signal(seq, samples=samples, noise=noise, rng=rng)
+    return counter.detect(target, sig, strand)
+
+
+def test_detection_hexamer(pm, backbone):
+    """GGCCCC repeat counted exactly (reference STRique_test.py:47-63)."""
+    dt = RepeatCounter(MODEL)
+    dt.add_target("c9orf72", "GGCCCC", PREFIX_C9, SUFFIX_C9)
+    for i in (25, 40):
+        seq = backbone[:1000] + PREFIX_C9 + "GGCCCC" * i + SUFFIX_C9 + backbone[-1000:]
+        n, sp, ss, p, off, ticks, mod = _run(dt, pm, seq, "c9orf72")
+        assert n == i
+        assert sp > 4.0 and ss > 4.0
+        assert mod == "-"
+
+
+def test_interpolation_short_repeat(pm, backbone):
+    """3-mer repeat (shorter than the 6-mer model) exercises the
+    wrap-around extension / repeat_offset path (reference :67-83)."""
+    dt = RepeatCounter(MODEL)
+    dt.add_target("fmr1", "GCG", PREFIX_FMR1, SUFFIX_FMR1)
+    for i in (30, 45):
+        seq = backbone[:1000] + PREFIX_FMR1 + "GCG" * i + SUFFIX_FMR1 + backbone[-1000:]
+        n, *_ = _run(dt, pm, seq, "fmr1")
+        assert n == i
+
+
+def test_normalization_short_flanks(pm):
+    """No backbone, flanks only (reference :86-101)."""
+    dt = RepeatCounter(MODEL)
+    dt.add_target("c9orf72", "GGCCCC", PREFIX_C9, SUFFIX_C9)
+    for i in (10, 30):
+        seq = PREFIX_C9 + "GGCCCC" * i + SUFFIX_C9
+        n, *_ = _run(dt, pm, seq, "c9orf72")
+        assert n == i
+
+
+def test_minus_strand(pm, backbone):
+    """Reverse-complement reads counted through the minus-strand models."""
+    from strique_tpu.detect.counter import reverse_complement
+
+    dt = RepeatCounter(MODEL)
+    dt.add_target("c9orf72", "GGCCCC", PREFIX_C9, SUFFIX_C9)
+    i = 25
+    seq = backbone[:500] + PREFIX_C9 + "GGCCCC" * i + SUFFIX_C9 + backbone[-500:]
+    n, *_ = _run(dt, pm, reverse_complement(seq), "c9orf72", strand="-")
+    assert n == i
+
+
+def test_modification(pm, backbone):
+    """Noisy canonical vs 5mC signals; count exact, pattern plausible
+    (reference :104-124)."""
+    pm_mod = PoreModel(MOD_MODEL)
+    dt = RepeatCounter(MODEL, mod_model_file=MOD_MODEL)
+    dt.add_target("c9orf72", "GGCCCC", PREFIX_C9, SUFFIX_C9)
+    rng = np.random.default_rng(7)
+    i = 25
+    seq = backbone[:1000] + PREFIX_C9 + "GGCCCC" * i + SUFFIX_C9 + backbone[-1000:]
+    n, sp, ss, p, off, ticks, mod_base = _run(dt, pm, seq, "c9orf72", noise=True, rng=rng)
+    assert n == i
+    assert set(mod_base) <= {"0", "1"}
+    n2, *_rest, mod_mod = _run(dt, pm, seq, "c9orf72", noise=True, gen_pm=pm_mod, rng=rng)
+    assert n2 == i
+    # the mCpG-generated signal should trigger more 'mod' unit calls
+    assert mod_mod.count("1") >= mod_base.count("1")
