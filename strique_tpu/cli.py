@@ -1,0 +1,205 @@
+"""Command-line interface: index / count / plot / extract.
+
+Mirrors the reference CLI surface (reference scripts/STRique.py:874-1024
+and STRique_lib/fast5Index.py:248-284): same subcommands, arguments and
+TSV output schema, so existing STRique workflows can switch directly.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .utils import logging as ulog
+from .utils.config import parse_config
+from .utils.logging import LogLevel, log
+
+
+def cmd_index(argv) -> int:
+    parser = argparse.ArgumentParser(description="Fast5 raw data archive indexing")
+    parser.add_argument("input", help="Input batch or directory of batches")
+    parser.add_argument("--recursive", action="store_true", help="Recursively scan input")
+    parser.add_argument("--out_prefix", default="", help="Prefix for file paths in output")
+    parser.add_argument("--tmp_prefix", default=None, help="Prefix for temporary data")
+    args = parser.parse_args(argv)
+    from .io import fast5
+
+    for record in fast5.index(args.input, recursive=args.recursive,
+                              output_prefix=args.out_prefix, tmp_prefix=args.tmp_prefix):
+        print(record)
+    return 0
+
+
+def cmd_count(argv) -> int:
+    parser = argparse.ArgumentParser(description="STR detection in raw nanopore data")
+    parser.add_argument("f5Index", help="Fast5 index")
+    parser.add_argument("model", help="Pore model")
+    parser.add_argument("repeat", help="Repeat region config file")
+    parser.add_argument("--out", default=None, help="Output file name, if not given print to stdout")
+    parser.add_argument("--algn", default=None, help="Alignment in sam format, if not given read from stdin")
+    parser.add_argument("--mod_model", default=None, help="Base modification pore model")
+    parser.add_argument("--config", help="Config file with HMM transition probabilities")
+    parser.add_argument("--t", type=int, default=1, help="Host IO worker threads")
+    parser.add_argument("--log_level", default="warning",
+                        choices=["error", "warning", "info", "debug"], help="Log level")
+    args = parser.parse_args(argv)
+    ulog.init(log_level=args.log_level)
+    config = parse_config(args.repeat, args.config)
+    for path, desc in ((args.f5Index, "Fast5 index"), (args.model, "Pore model"),
+                       (args.mod_model, "Modification pore model")):
+        if path and not os.path.isfile(path):
+            log(f"Main: {desc} file does not exist.", LogLevel.Error)
+            return 1
+
+    from .detect.detector import RepeatDetector
+    from .detect.writer import OutputWriter
+    from .parallel.dispatcher import run_pipeline
+
+    rd = RepeatDetector(config["repeat"], args.model, args.f5Index,
+                        mod_model_file=args.mod_model, align_config=config["align"],
+                        hmm_config=config["HMM"])
+    ow = OutputWriter(args.out)
+
+    def sam_lines():
+        stream = open(args.algn, "r") if args.algn else sys.stdin
+        try:
+            for line in stream:
+                if not line.startswith("@"):
+                    yield line
+        finally:
+            if args.algn:
+                stream.close()
+
+    n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t)
+    log(f"Main: Processed {n} alignments.", LogLevel.Info)
+    ulog.close()
+    return 0
+
+
+def cmd_plot(argv) -> int:
+    """Signal plots over counted STR expansions (reference STRique.py:948-1024)."""
+    parser = argparse.ArgumentParser(description="Signal plots over STR expansions")
+    parser.add_argument("f5Index", help="Fast5 index")
+    parser.add_argument("--counts", default=None, help="Count TSV from 'count', stdin if not given")
+    parser.add_argument("--output", default=None, help="Output directory for plots (else GUI)")
+    parser.add_argument("--format", default="png", choices={"png", "pdf", "svg"})
+    parser.add_argument("--width", default=16, type=int)
+    parser.add_argument("--height", default=9, type=int)
+    parser.add_argument("--dpi", default=80, type=int)
+    parser.add_argument("--extension", type=float, default=0.1,
+                        help="Extension as fraction of repeat signal around STR region")
+    parser.add_argument("--zoom", type=int, default=500, help="Region around prefix/suffix to plot")
+    parser.add_argument("--log_level", default="warning",
+                        choices=["error", "warning", "info", "debug"])
+    args = parser.parse_args(argv)
+    ulog.init(log_level=args.log_level)
+    import matplotlib
+
+    if args.output:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from .io.fast5 import Fast5Index
+    from .ops.signal import medfilt3
+
+    if not os.path.isfile(args.f5Index):
+        log("Main: Fast5 index file does not exist.", LogLevel.Error)
+        return 1
+    f5 = Fast5Index(args.f5Index)
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+
+    def tsv_iter():
+        stream = open(args.counts, "r") if args.counts else sys.stdin
+        try:
+            for line in stream:
+                if not line.startswith("ID"):
+                    yield line.strip().split("\t")
+        finally:
+            if args.counts:
+                stream.close()
+
+    for record in tsv_iter():
+        ID, target, strand, count, score_prefix, score_suffix, _, offset, ticks = record[:9]
+        offset, ticks = int(offset), int(ticks)
+        score_prefix, score_suffix = float(score_prefix), float(score_suffix)
+        try:
+            raw = f5.get_raw(ID)
+        except RuntimeError:
+            raw = None
+        if raw is None:
+            log(f"Plot: No fast5 for ID {ID}", LogLevel.Warning)
+            continue
+        flt = medfilt3(raw.astype(np.float64))
+        flt = (flt - np.median(flt)) / np.std(flt)
+        pre_ext = max(0, offset - int(ticks * args.extension))
+        suf_ext = min(len(flt), offset + ticks + int(ticks * args.extension))
+        pre_b = max(offset - args.zoom, 0)
+        pre_e = pre_b + args.zoom * 2
+        suf_b = offset + ticks - args.zoom
+        suf_e = min(len(flt), suf_b + args.zoom * 2)
+        plt.figure(figsize=(args.width, args.height), dpi=args.dpi, facecolor="w", edgecolor="k")
+        plt.subplot(2, 1, 1)
+        plt.plot(flt[pre_ext:suf_ext], "k-", linewidth=0.5, label="genome")
+        plt.plot(np.arange(ticks) + (offset - pre_ext), flt[offset:offset + ticks],
+                 "b-", linewidth=1.0, label="STR")
+        plt.legend()
+        plt.title(f"Read {ID} with {count} repeats")
+        plt.subplot(2, 2, 3)
+        plt.plot(flt[pre_b:pre_e], "k-", label="prefix")
+        plt.plot(np.arange(args.zoom, 2 * args.zoom), flt[pre_b + args.zoom:pre_e], "b-")
+        plt.axvline(args.zoom, color="red", label="STR begin")
+        plt.legend()
+        plt.title(f"Prefix region with score {score_prefix:.2f}")
+        plt.subplot(2, 2, 4)
+        plt.plot(flt[suf_b:suf_e], "k-", label="suffix")
+        plt.plot(flt[suf_b:suf_e - args.zoom], "b-")
+        plt.axvline(args.zoom, color="red", label="STR end")
+        plt.legend()
+        plt.title(f"Suffix region with score {score_suffix:.2f}")
+        plt.tight_layout()
+        if args.output:
+            plt.savefig(os.path.join(args.output, "_".join([target, count, ID]) + "." + args.format))
+            plt.close()
+        else:
+            plt.show()
+    ulog.close()
+    return 0
+
+
+def cmd_extract(argv) -> int:
+    parser = argparse.ArgumentParser(description="Fast5 extraction")
+    parser.add_argument("batch", help="Input batch (.tar/.fast5/.txt of read IDs)")
+    parser.add_argument("output", help="Output directory")
+    parser.add_argument("--index", default=None, help="Read index")
+    parser.add_argument("--output_format", default="single", choices=["single", "bulk", "lazy"])
+    parser.add_argument("--tmp_prefix", default=None, help="Prefix for temporary data")
+    args = parser.parse_args(argv)
+    from .io.fast5 import Fast5Index
+
+    Fast5Index(args.index, tmp_prefix=args.tmp_prefix).extract(
+        args.batch, args.output, format=args.output_format)
+    return 0
+
+
+COMMANDS = {"index": cmd_index, "count": cmd_count, "plot": cmd_plot, "extract": cmd_extract}
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(
+        prog="strique",
+        description="STRique-TPU: a TPU-native nanopore raw signal repeat detection pipeline",
+        usage="strique <command> [<args>]\n\nCommands:\n"
+              "   index      Index batch(es) of bulk-fast5 or tar archived single fast5\n"
+              "   count      Count single read repeat expansions\n"
+              "   plot       Plot repeat signal after counting\n"
+              "   extract    Extract single reads from indexed sequencing run\n")
+    parser.add_argument("command", choices=sorted(COMMANDS))
+    args = parser.parse_args(argv[:1])
+    return COMMANDS[args.command](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

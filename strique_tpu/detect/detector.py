@@ -1,0 +1,60 @@
+"""Multi-locus repeat detection orchestrator.
+
+Equivalent of the reference ``repeatDetector`` (reference
+scripts/STRique.py:624-705): decode SAM line, intersect configured loci,
+fetch raw signal, run the counter per matching target.
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..io.fast5 import Fast5Index
+from ..io.sam import decode_sam, intersect_targets
+from ..utils.logging import LogLevel, log
+from .counter import RepeatCounter
+
+
+class RepeatDetector:
+    def __init__(self, repeat_config: dict, model_file: str, fast5_index_file: str,
+                 mod_model_file: str | None = None, align_config: dict | None = None,
+                 hmm_config: dict | None = None):
+        self.counter = RepeatCounter(model_file, mod_model_file=mod_model_file,
+                                     align_config=align_config, hmm_config=hmm_config)
+        self.repeat_loci = defaultdict(list)
+        self.repeat_config = repeat_config
+        self.is_init = False
+        self.f5 = Fast5Index(fast5_index_file)
+
+    def _init_targets(self) -> None:
+        """Lazy HMM construction (reference :642-646)."""
+        for target_name, (chrom, begin, end, repeat, prefix, suffix) in self.repeat_config.items():
+            self.counter.add_target(target_name, repeat, prefix, suffix)
+            self.repeat_loci[chrom].append((target_name, begin, end))
+        self.is_init = True
+
+    def detect(self, sam_line: str = ""):
+        """Process one SAM line -> {'target_counts': [...]} or None
+        (reference :681-705)."""
+        if not self.is_init:
+            self._init_targets()
+        sr = decode_sam(sam_line)
+        if not sr.QNAME:
+            log(f"Detector: Error parsing alignment \n{sam_line}", LogLevel.Error)
+            return None
+        target_names = intersect_targets(sr, self.repeat_loci)
+        if not target_names:
+            log(f"Detector: No target for {sr.QNAME}", LogLevel.Debug)
+            return None
+        try:
+            raw = self.f5.get_raw(sr.QNAME)
+        except RuntimeError:
+            raw = None
+        if raw is None:
+            log(f"Detector: No fast5 for ID {sr.QNAME}", LogLevel.Warning)
+            return None
+        log(f"Detector: Test {sr.QNAME} for targets: {','.join(target_names)}.", LogLevel.Debug)
+        target_counts = []
+        for target_name in target_names:
+            result = self.counter.detect(target_name, raw, sr.strand)
+            target_counts.append((sr.QNAME, target_name, sr.strand, *result))
+        return {"target_counts": target_counts}

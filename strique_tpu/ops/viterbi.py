@@ -46,24 +46,35 @@ def viterbi_scan(obs, t_actual, log_start, log_trans, log_end, mu, sigma, is_uni
     obs = obs.astype(jnp.float32)
     iota = jnp.arange(S, dtype=jnp.int32)
 
+    # Running rescaling: subtracting the per-step max keeps the score vector
+    # near zero, so float32 retains full precision on the margins that decide
+    # each argmax (unscaled scores reach ~-1e5 where the f32 ulp would exceed
+    # typical transition-probability margins).  The subtracted mass
+    # accumulates separately and only affects the reported logp, which
+    # callers recompute in float64 from the path anyway.
     score0 = log_start + emission_logp(obs[0], mu, sigma, is_uniform, log_uni)
+    shift0 = jnp.max(score0)
+    score0 = score0 - shift0
 
-    def step(score, xt):
+    def step(carry, xt):
+        score, acc = carry
         x, t = xt
         cand = score[:, None] + log_trans  # (u, v)
         best = jnp.max(cand, axis=0)
         bp = jnp.argmax(cand, axis=0).astype(jnp.int16)
         new = best + emission_logp(x, mu, sigma, is_uniform, log_uni)
+        shift = jnp.max(new)
         live = t < t_actual
-        score = jnp.where(live, new, score)
+        score = jnp.where(live, new - shift, score)
+        acc = jnp.where(live, acc + shift, acc)
         bp = jnp.where(live, bp, iota.astype(jnp.int16))
-        return score, bp
+        return (score, acc), bp
 
     ts = jnp.arange(1, obs.shape[0], dtype=jnp.int32)
-    score, bps = jax.lax.scan(step, score0, (obs[1:], ts))
+    (score, acc), bps = jax.lax.scan(step, (score0, shift0), (obs[1:], ts))
     final = score + log_end
     last = jnp.argmax(final).astype(jnp.int32)
-    logp = final[last]
+    logp = final[last] + acc
 
     def back(state, bp_t):
         prev = bp_t[state].astype(jnp.int32)

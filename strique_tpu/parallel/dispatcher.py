@@ -1,0 +1,65 @@
+"""Host-side pipeline runner.
+
+Replaces the reference's fork-based ``mt_dispatcher`` worker pool
+(reference scripts/STRique.py:733-830).  In the TPU design a single
+process owns the device; parallelism comes from (a) a thread pool that
+overlaps fast5 IO + CPU preprocessing with device compute, and (b) data
+parallelism over reads across chips (:mod:`strique_tpu.parallel.mesh`).
+
+Per-read fault isolation matches the reference: any exception in a
+worker is logged and the pipeline continues (reference :764-768).
+"""
+from __future__ import annotations
+
+import sys
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+
+from ..utils.logging import LogLevel, log
+
+
+def run_pipeline(sam_lines, detector, writer, io_threads: int = 1) -> int:
+    """Stream SAM lines through detection into the writer.
+
+    Fast5 signal fetch + host preprocessing happen on ``io_threads``
+    threads; device calls serialize naturally inside detect.  Output
+    order follows completion order (like the reference's collector).
+    """
+    n_processed = 0
+
+    def work(line):
+        try:
+            return detector.detect(line)
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            log("Factory: Unexpected error in worker, proceeding with remaining reads.\n"
+                + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+            return None
+
+    if io_threads <= 1:
+        for line in sam_lines:
+            result = work(line)
+            n_processed += 1
+            if result:
+                writer.write_line(**result)
+        return n_processed
+
+    with ThreadPoolExecutor(max_workers=io_threads) as pool:
+        # bounded in-flight window to cap memory
+        window = io_threads * 4
+        pending = []
+        for line in sam_lines:
+            pending.append(pool.submit(work, line))
+            if len(pending) >= window:
+                fut = pending.pop(0)
+                result = fut.result()
+                n_processed += 1
+                if result:
+                    writer.write_line(**result)
+        for fut in pending:
+            result = fut.result()
+            n_processed += 1
+            if result:
+                writer.write_line(**result)
+    return n_processed

@@ -1,0 +1,74 @@
+"""Golden-file end-to-end test against the reference's published output.
+
+The reference documents the expected result of its bundled dataset
+(reference docs/installation/test.md:16): read ce47b364-..., target
+c9orf72, strand -, count 735, scores 6.3156/6.0319, log_p -119860.52,
+offset 1633, ticks 40758.  See PARITY.md for the precision contract:
+offset/ticks must be exact, count within +-2, scores within 1%.
+"""
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATA = "/root/reference/data"
+MODEL = "/root/reference/models/r9_4_450bps.model"
+REPEAT_TSV = "/root/reference/configs/repeat_config.tsv"
+PARAMS_JSON = "/root/reference/configs/STRique.json"
+
+GOLDEN = {
+    "ID": "ce47b364-ed6e-4409-808a-1041c0b5aac2",
+    "target": "c9orf72",
+    "strand": "-",
+    "count": 735,
+    "score_prefix": 6.3155927807600545,
+    "score_suffix": 6.031860427335506,
+    "log_p": -119860.52066647023,
+    "offset": 1633,
+    "ticks": 40758,
+}
+
+
+@pytest.fixture(scope="module")
+def golden_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("golden")
+    shutil.copy(os.path.join(DATA, "c9orf72.fast5"), d)
+    return d
+
+
+def test_golden_count_pipeline(golden_dir):
+    from strique_tpu.cli import main
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["index", str(golden_dir)])
+    fofn = golden_dir / "reads.fofn"
+    fofn.write_text(buf.getvalue())
+    assert GOLDEN["ID"] in buf.getvalue()
+
+    out = golden_dir / "counts.tsv"
+    rc = main(["count", str(fofn), MODEL, REPEAT_TSV,
+               "--algn", os.path.join(DATA, "c9orf72.sam"),
+               "--config", PARAMS_JSON, "--out", str(out)])
+    assert rc == 0
+    lines = out.read_text().strip().split("\n")
+    assert len(lines) == 2
+    cols = lines[1].split("\t")
+    assert cols[0] == GOLDEN["ID"]
+    assert cols[1] == GOLDEN["target"]
+    assert cols[2] == GOLDEN["strand"]
+    count, sp, ss, logp = int(cols[3]), float(cols[4]), float(cols[5]), float(cols[6])
+    offset, ticks = int(cols[7]), int(cols[8])
+    assert offset == GOLDEN["offset"]  # exact: alignment warp parity
+    assert ticks == GOLDEN["ticks"]  # exact
+    assert abs(count - GOLDEN["count"]) <= 2  # PARITY.md deviation 2
+    assert abs(sp - GOLDEN["score_prefix"]) / GOLDEN["score_prefix"] < 0.01
+    assert abs(ss - GOLDEN["score_suffix"]) / GOLDEN["score_suffix"] < 0.01
+    assert abs(logp - GOLDEN["log_p"]) / abs(GOLDEN["log_p"]) < 0.02
+    assert cols[9] == "-"

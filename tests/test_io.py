@@ -1,0 +1,141 @@
+"""IO layer tests: fast5 indexing/retrieval/extraction, SAM decoding."""
+import os
+import shutil
+import tarfile
+
+import h5py
+import numpy as np
+import pytest
+
+from strique_tpu.io import fast5
+from strique_tpu.io.sam import SamRecord, decode_cigar, decode_sam, intersect_targets
+
+DATA_F5 = "/root/reference/data/c9orf72.fast5"
+GOLD_ID = "ce47b364-ed6e-4409-808a-1041c0b5aac2"
+
+
+def make_single_f5(path, read_id, signal):
+    with h5py.File(path, "w") as f:
+        g = f.create_group(f"Raw/Reads/Read_1")
+        g.attrs["read_id"] = np.bytes_(read_id.encode())
+        g.attrs["duration"] = np.uint32(len(signal))
+        g.create_dataset("Signal", data=signal.astype(np.int16))
+
+
+def test_read_id_single():
+    assert fast5.read_id_single(DATA_F5) == GOLD_ID
+    assert not fast5.is_multi_read(DATA_F5)
+
+
+def test_index_and_get_raw(tmp_path):
+    shutil.copy(DATA_F5, tmp_path)
+    lines = list(fast5.index(str(tmp_path)))
+    assert lines == [f"c9orf72.fast5\t{GOLD_ID}"]
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    sig = idx.get_raw(GOLD_ID)
+    assert sig.dtype == np.int16
+    assert len(sig) == 284184
+
+
+def test_multi_read_roundtrip(tmp_path):
+    # build two single fast5s, pack to multi, index, read back
+    rng = np.random.default_rng(0)
+    sigs = {}
+    singles = []
+    for i in range(2):
+        rid = f"read-{i:04d}-xxxx"
+        sig = rng.integers(400, 800, 100 + i * 10).astype(np.int16)
+        p = tmp_path / f"single{i}.fast5"
+        make_single_f5(p, rid, sig)
+        sigs[rid] = sig
+        singles.append(str(p))
+    bulk = tmp_path / "bulk" / "batch.fast5"
+    os.makedirs(bulk.parent)
+    fast5.singles_to_multi(singles, str(bulk))
+    assert fast5.is_multi_read(str(bulk))
+    lines = list(fast5.index(str(bulk.parent)))
+    assert len(lines) == 2
+    fofn = bulk.parent / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    for rid, sig in sigs.items():
+        np.testing.assert_array_equal(idx.get_raw(rid), sig)
+
+
+def test_tar_archive_index_and_get(tmp_path):
+    rid = "tar-read-0001"
+    sig = np.arange(50, dtype=np.int16)
+    single = tmp_path / "a.fast5"
+    make_single_f5(single, rid, sig)
+    tar = tmp_path / "batch.tar"
+    with tarfile.open(tar, "w") as tf:
+        tf.add(single, arcname="a.fast5")
+    single.unlink()
+    lines = list(fast5.index(str(tmp_path)))
+    assert lines == [f"batch.tar/a.fast5\t{rid}"]
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    np.testing.assert_array_equal(idx.get_raw(rid), sig)
+
+
+def test_set_raw_roundtrip(tmp_path):
+    rid = "set-read-0001"
+    make_single_f5(tmp_path / "x.fast5", rid, np.arange(64, dtype=np.int16))
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text(f"x.fast5\t{rid}\n")
+    idx = fast5.Fast5Index(str(fofn))
+    new_sig = np.arange(32, dtype=np.int16) * 2
+    idx.set_raw(rid, new_sig)
+    np.testing.assert_array_equal(idx.get_raw(rid), new_sig)
+    with h5py.File(tmp_path / "x.fast5") as f:
+        assert f["Raw/Reads/Read_1"].attrs["duration"] == 32
+
+
+def test_extract_subset(tmp_path):
+    rids = [f"xtr-read-{i}" for i in range(3)]
+    for i, rid in enumerate(rids):
+        make_single_f5(tmp_path / f"s{i}.fast5", rid, np.full(10 + i, i, np.int16))
+    lines = list(fast5.index(str(tmp_path)))
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    ids_txt = tmp_path / "subset.txt"
+    ids_txt.write_text("\n".join(rids[:2]) + "\n")
+    out = tmp_path / "out"
+    idx.extract(str(ids_txt), str(out), format="single")
+    extracted = sorted(os.listdir(out))
+    assert len(extracted) == 2
+
+
+# --- SAM ------------------------------------------------------------------
+
+def test_decode_cigar():
+    assert decode_cigar("2S10M1D3I") == [(2, "S"), (10, "M"), (1, "D"), (3, "I")]
+
+
+def test_decode_sam_golden_line():
+    line = next(l for l in open("/root/reference/data/c9orf72.sam") if not l.startswith("@"))
+    sr = decode_sam(line)
+    assert sr.QNAME == GOLD_ID
+    assert sr.FLAG == 16 and sr.strand == "-"
+    assert sr.RNAME == "chr9" and sr.POS == 27541232
+    assert sr.CLIP_BEGIN == 2
+    assert sr.TLEN > 0
+
+
+def test_decode_sam_malformed():
+    assert decode_sam("garbage line").QNAME == ""
+    assert decode_sam("a\tb\tc\tnotint\te\tf\tg\th\ti\tj\tk").QNAME == ""
+
+
+def test_intersect_targets():
+    loci = {"chr9": [("c9orf72", 27573527, 27573544)]}
+    sr = SamRecord(QNAME="x", RNAME="chr9", POS=27541232, TLEN=40000, CLIP_BEGIN=2, CLIP_END=0)
+    assert intersect_targets(sr, loci) == ["c9orf72"]
+    sr2 = SamRecord(QNAME="x", RNAME="chr9", POS=27573530, TLEN=100)
+    assert intersect_targets(sr2, loci) == []
+    sr3 = SamRecord(QNAME="x", RNAME="chr1", POS=27541232, TLEN=40000)
+    assert intersect_targets(sr3, loci) == []
