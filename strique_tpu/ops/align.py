@@ -56,9 +56,12 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     g = jnp.maximum(ge_v, go_v)
     idx = jnp.arange(m + 1, dtype=jnp.float32)
 
-    # column j=0
+    # column j=0.  The `0 * signal[0]` term is a no-op numerically but makes
+    # the scan carry init depend on the (per-shard varying) signal, so the
+    # kernel stays usable inside shard_map (varying-manual-axes typing).
     S0 = jnp.concatenate([jnp.zeros((1,), jnp.float32), go_v + ge_v * jnp.arange(m, dtype=jnp.float32)])
-    Ih0 = jnp.full((m + 1,), NEG)
+    S0 = S0 + 0.0 * signal[0]
+    Ih0 = jnp.full((m + 1,), NEG) + 0.0 * signal[0]
     Iv0 = S0.at[0].set(NEG)
 
     def step(carry, xj):
@@ -126,10 +129,11 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
         ncur = jnp.where(stay, cur, jnp.where(ni > 0, (nbyte & 3).astype(jnp.int32), MAT_M))
         return ni, nj, ncur, is_gap, jpos
 
-    i0 = jnp.int32(m)
+    # inits are tainted with j_end for shard_map varying-axes typing (no-ops)
+    i0 = jnp.int32(m) + 0 * j_end
     cur0 = (lookup(j_end, i0) & 3).astype(jnp.int32)
-    is_gap0 = jnp.zeros((m,), dtype=bool)
-    jpos0 = jnp.zeros((m,), dtype=jnp.int32)
+    is_gap0 = jnp.zeros((m,), dtype=bool) | (j_end < 0)
+    jpos0 = jnp.zeros((m,), dtype=jnp.int32) + 0 * j_end
     _, j_begin, _, is_gap, jpos = jax.lax.while_loop(cond, body, (i0, j_end, cur0, is_gap0, jpos0))
     out.update({"is_gap": is_gap, "jpos": jpos, "j_begin": j_begin})
     return out

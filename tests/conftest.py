@@ -4,7 +4,8 @@ Must set env vars before jax is imported anywhere.
 """
 import os
 
-# Note: the axon TPU plugin overrides JAX_PLATFORMS; JAX_PLATFORM_NAME wins.
+# Note: the axon sitecustomize imports jax at interpreter startup with
+# JAX_PLATFORMS=axon, so env vars alone are too late — use config.update.
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -12,6 +13,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strique_jax_cache")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/strique_jax_cache")
 
 import sys
 
