@@ -36,7 +36,7 @@ def main():
     from strique_tpu.pore_model import PoreModel
 
     n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
-    n_reads = int(os.environ.get("BENCH_READS", "16"))
+    n_reads = int(os.environ.get("BENCH_READS", "32"))
     repeats = 100
 
     pm = PoreModel(MODEL_FILE)
@@ -51,13 +51,13 @@ def main():
     max_len = max(len(s) for s in sigs)
     sigs = [np.pad(s, (0, max_len - len(s)), mode="edge") for s in sigs]
 
+    batch = 8
     correct = 0
-    for s in sigs[:n_warm]:
-        n, *_ = counter.detect("c9orf72", s, "+")
+    counter.detect_many("c9orf72", sigs[:n_warm], "+")
     t0 = time.perf_counter()
-    for s in sigs[n_warm:]:
-        n, *_ = counter.detect("c9orf72", s, "+")
-        correct += int(n == repeats)
+    for b0 in range(n_warm, n_warm + n_reads, batch):
+        for res in counter.detect_many("c9orf72", sigs[b0:b0 + batch], "+"):
+            correct += int(res[0] == repeats)
     dt = time.perf_counter() - t0
 
     rps = n_reads / dt

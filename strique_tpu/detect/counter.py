@@ -120,14 +120,37 @@ class RepeatCounter:
             )
         return self._dev_cache[key]
 
+    def _padded_hmm(self, chm):
+        """Cache lane-padded tensors for the Pallas Viterbi kernel."""
+        from ..ops.viterbi_pallas import PaddedHMM
+
+        key = ("pallas", id(chm))
+        if key not in self._dev_cache:
+            self._dev_cache[key] = PaddedHMM(chm)
+        return self._dev_cache[key]
+
+    @staticmethod
+    def _use_pallas() -> bool:
+        import jax
+
+        return jax.default_backend() == "tpu"
+
     # -- detection ---------------------------------------------------------
     def _viterbi(self, chm, segment: np.ndarray):
+        import jax.numpy as jnp
+
         t = len(segment)
+        if self._use_pallas():
+            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas
+
+            tpad = max(((t + CHUNK_T - 1) // CHUNK_T) * CHUNK_T, CHUNK_T)
+            obs = np.zeros(tpad, dtype=np.float32)
+            obs[:t] = segment
+            logp, path = viterbi_pallas(jnp.asarray(obs), jnp.int32(t), self._padded_hmm(chm))
+            return float(logp), np.asarray(path)
         tpad = pad_bucket(t)
         obs = np.zeros(tpad, dtype=np.float32)
         obs[:t] = segment
-        import jax.numpy as jnp
-
         dev = self._device_hmm(chm)
         logp, path = viterbi_ops.viterbi_scan(jnp.asarray(obs), jnp.int32(t), *dev)
         return float(logp), np.asarray(path)
@@ -137,6 +160,14 @@ class RepeatCounter:
 
         Returns (n, score_prefix, score_suffix, log_p, offset, ticks, mod).
         """
+        return self.detect_many(target_name, [raw_signal], strand)[0]
+
+    def detect_many(self, target_name: str, raw_signals, strand: str):
+        """Batched detection of multiple reads against one target/strand.
+
+        Alignment runs as one batched device call (8 reads per Pallas
+        kernel invocation on TPU); Viterbi decodes follow per read.
+        """
         tc_plus, tc_minus = self.targets[target_name]
         if strand == "+":
             tc = tc_plus
@@ -144,39 +175,123 @@ class RepeatCounter:
             tc = tc_minus
         else:
             raise ValueError("strand must be + or -")
-        raw_signal = np.asarray(raw_signal, dtype=np.float64)
-        n_sig = len(raw_signal)
-        flt = signal_ops.medfilt3(raw_signal)
-        morph = signal_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
-        morph = signal_ops.open_close_np(morph)
-        morph_n = self.pm.normalize2model(morph, mode="minmax")
-        flt_n = self.pm.normalize2model(flt, mode="minmax")
+        B = len(raw_signals)
+        raws = [np.asarray(r, dtype=np.float64) for r in raw_signals]
+        n_sigs = np.array([len(r) for r in raws], dtype=np.int32)
+        # host preprocessing (float64, exact scipy semantics)
+        morphs, flts = [], []
+        for raw in raws:
+            flt = signal_ops.medfilt3(raw)
+            morph = signal_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
+            morph = signal_ops.open_close_np(morph)
+            morphs.append(self.pm.normalize2model(morph, mode="minmax"))
+            flts.append(self.pm.normalize2model(flt, mode="minmax"))
 
-        npad = pad_bucket(n_sig)
-        morph_pad = np.zeros(npad, dtype=np.float32)
-        morph_pad[:n_sig] = morph_n
+        npad = pad_bucket(int(n_sigs.max()))
+        from ..ops.align_pallas import CHUNK as ALIGN_CHUNK
+
+        npad = (npad + ALIGN_CHUNK - 1) // ALIGN_CHUNK * ALIGN_CHUNK
+        morph_pad = np.zeros((B, npad), dtype=np.float32)
+        for i, m in enumerate(morphs):
+            morph_pad[i, : len(m)] = m
         trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
         trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
-        score_prefix, prefix_begin, prefix_end = align_ops.detect_range(
-            morph_pad, n_sig, tc.prefix_ext, self.align_params, pre_trim=trim_prefix)
-        score_suffix, suffix_begin, suffix_end = align_ops.detect_range(
-            morph_pad, n_sig, tc.suffix_ext, self.align_params, post_trim=trim_suffix)
+        import jax.numpy as jnp
 
-        n = 0
-        p = 0.0
-        mod = "-"
-        if prefix_begin < suffix_end and score_prefix > 0.0 and score_suffix > 0.0:
-            segment = flt_n[prefix_begin:suffix_end].astype(np.float32)
-            _, path = self._viterbi(tc.repeat_hmm, segment)
-            n = viterbi_ops.count_repeats(path, len(segment), tc.repeat_hmm)
-            p = viterbi_ops.path_logp_f64(segment, path, tc.repeat_hmm)
-            if self.has_mod and tc.mod_hmm is not None:
-                nrm = self.pm.normalize2model(raw_signal, mode="minmax")
-                mask = viterbi_ops.repeat_sample_mask(path, len(segment), tc.repeat_hmm)
-                rep_signal = nrm[prefix_begin:suffix_end][mask]
-                if len(rep_signal):
-                    mm = tc.mod_hmm.meta
-                    rep_signal = np.clip(rep_signal, mm["model_min"], mm["model_max"])
-                    _, mpath = self._viterbi(tc.mod_hmm, rep_signal.astype(np.float32))
-                    mod = viterbi_ops.mod_pattern(mpath, len(rep_signal), tc.mod_hmm)
-        return n, score_prefix, score_suffix, p, prefix_end, max(suffix_begin - prefix_end, 0), mod
+        pre = align_ops.align_batch(morph_pad, n_sigs, tc.prefix_ext, self.align_params)
+        suf = align_ops.align_batch(morph_pad, n_sigs, tc.suffix_ext, self.align_params)
+        # one packed D2H per batch: the tunnel's transfer latency is flat,
+        # so per-array conversions would dominate the whole pipeline
+        mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
+        packed = np.asarray(jnp.concatenate([
+            pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
+            suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
+        ], axis=1))
+        o = 0
+        pre_score = packed[:, o]; o += 1
+        pre_jpos = packed[:, o : o + mp_].astype(np.int64); o += mp_
+        pre_gap = packed[:, o : o + mp_] != 0.0; o += mp_
+        suf_score = packed[:, o]; o += 1
+        suf_jpos = packed[:, o : o + ms_].astype(np.int64); o += ms_
+        suf_gap = packed[:, o : o + ms_] != 0.0
+
+        # bounds + gate per read (host)
+        bounds = []
+        for i in range(B):
+            n_sig = int(n_sigs[i])
+            pos_p = align_ops._nearest_positions(pre_gap[i], pre_jpos[i], n_sig)
+            pos_s = align_ops._nearest_positions(suf_gap[i], suf_jpos[i], n_sig)
+            span = int(pos_p[-1]) - int(pos_p[0])
+            score_prefix = float(pre_score[i]) / span if span > 0 else 0.0
+            span = int(pos_s[-1]) - int(pos_s[0])
+            score_suffix = float(suf_score[i]) / span if span > 0 else 0.0
+            prefix_begin, prefix_end = int(pos_p[trim_prefix]), int(pos_p[-1])
+            suffix_begin, suffix_end = int(pos_s[0]), int(pos_s[len(pos_s) - 1 - trim_suffix])
+            ok = prefix_begin < suffix_end and score_prefix > 0.0 and score_suffix > 0.0
+            bounds.append((ok, score_prefix, score_suffix, prefix_begin, prefix_end,
+                           suffix_begin, suffix_end))
+
+        # batched Viterbi: dispatch all decodes, one packed D2H for the paths
+        live = [i for i in range(B) if bounds[i][0]]
+        paths = {}
+        seg_lens = {}
+        if live:
+            segs = {i: flts[i][bounds[i][3]:bounds[i][6]].astype(np.float32) for i in live}
+            tmax = max(len(s) for s in segs.values())
+            dev_paths = []
+            for i in live:
+                seg_lens[i] = len(segs[i])
+                _, path = self._viterbi_dev(tc.repeat_hmm, segs[i], tmax)
+                dev_paths.append(path)
+            all_paths = np.asarray(jnp.stack(dev_paths))  # one D2H
+            for k, i in enumerate(live):
+                paths[i] = all_paths[k]
+
+        results = []
+        mod_jobs = []
+        for i in range(B):
+            ok, score_prefix, score_suffix, prefix_begin, prefix_end, suffix_begin, suffix_end = bounds[i]
+            n = 0
+            p = 0.0
+            mod = "-"
+            if ok:
+                path = paths[i]
+                t_seg = seg_lens[i]
+                segment = flts[i][prefix_begin:suffix_end]
+                n = viterbi_ops.count_repeats(path, t_seg, tc.repeat_hmm)
+                p = viterbi_ops.path_logp_f64(segment, path, tc.repeat_hmm)
+                if self.has_mod and tc.mod_hmm is not None:
+                    nrm = self.pm.normalize2model(raws[i], mode="minmax")
+                    mask = viterbi_ops.repeat_sample_mask(path, t_seg, tc.repeat_hmm)
+                    rep_signal = nrm[prefix_begin:suffix_end][mask]
+                    if len(rep_signal):
+                        mm = tc.mod_hmm.meta
+                        rep_signal = np.clip(rep_signal, mm["model_min"], mm["model_max"])
+                        mod_jobs.append((len(results), rep_signal.astype(np.float32)))
+            results.append([n, score_prefix, score_suffix, p, prefix_end,
+                            max(suffix_begin - prefix_end, 0), mod])
+        if mod_jobs:
+            tmax = max(len(s) for _, s in mod_jobs)
+            dev_mpaths = [self._viterbi_dev(tc.mod_hmm, s, tmax)[1] for _, s in mod_jobs]
+            all_mpaths = np.asarray(jnp.stack(dev_mpaths))
+            for k, (ri, s) in enumerate(mod_jobs):
+                results[ri][6] = viterbi_ops.mod_pattern(all_mpaths[k], len(s), tc.mod_hmm)
+        return [tuple(r) for r in results]
+
+    def _viterbi_dev(self, chm, segment: np.ndarray, tmax: int):
+        """Viterbi decode returning device arrays (no host sync)."""
+        import jax.numpy as jnp
+
+        t = len(segment)
+        if self._use_pallas():
+            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas
+
+            tpad = max(((tmax + CHUNK_T - 1) // CHUNK_T) * CHUNK_T, CHUNK_T)
+            obs = np.zeros(tpad, dtype=np.float32)
+            obs[:t] = segment
+            return viterbi_pallas(jnp.asarray(obs), jnp.int32(t), self._padded_hmm(chm))
+        tpad = pad_bucket(tmax)
+        obs = np.zeros(tpad, dtype=np.float32)
+        obs[:t] = segment
+        dev = self._device_hmm(chm)
+        return viterbi_ops.viterbi_scan(jnp.asarray(obs), jnp.int32(t), *dev)

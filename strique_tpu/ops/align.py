@@ -101,11 +101,20 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     out = {"score": score, "j_end": j_end}
     if not with_traceback:
         return out
+    out.update(traceback_pointers(ptrs, j_end, m))
+    return out
 
-    # --- traceback -------------------------------------------------------
+
+def traceback_pointers(ptrs, j_end, m: int):
+    """Walk the 4-bit pointer array back from cell (m, j_end).
+
+    ``ptrs``: (N, MP) with MP >= m; byte at [j-1, i-1] describes DP cell
+    (row i, column j).  Returns per-template-element gap flags and signal
+    positions plus ``j_begin``.
+    """
     def lookup(jc, ic):
-        byte = jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1], jnp.uint8(MAT_V | 8))
-        return byte
+        return jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1].astype(jnp.uint8),
+                         jnp.uint8(MAT_V | 8))
 
     def cond(state):
         i, j, cur, is_gap, jpos = state
@@ -135,8 +144,55 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     is_gap0 = jnp.zeros((m,), dtype=bool) | (j_end < 0)
     jpos0 = jnp.zeros((m,), dtype=jnp.int32) + 0 * j_end
     _, j_begin, _, is_gap, jpos = jax.lax.while_loop(cond, body, (i0, j_end, cur0, is_gap0, jpos0))
-    out.update({"is_gap": is_gap, "jpos": jpos, "j_begin": j_begin})
-    return out
+    return {"is_gap": is_gap, "jpos": jpos, "j_begin": j_begin}
+
+
+@partial(jax.jit, static_argnames=("params", "m_actual"))
+def _align_batch_pallas(signals, n_actual, template_padded,
+                        params: AlignParams, m_actual: int):
+    from .align_pallas import align_forward_pallas
+
+    ptr, bottom = align_forward_pallas(signals, n_actual, template_padded, params, m_actual)
+    # include virtual column 0 (full-template vertical gap, no signal)
+    b0 = jnp.float32(params.gap_open_v) + jnp.float32(params.gap_extension_v) * (m_actual - 1)
+    bottom = jnp.concatenate([jnp.full((signals.shape[0], 1), b0), bottom], axis=1)
+    j_end = jnp.argmax(bottom, axis=1).astype(jnp.int32)
+    score = jnp.take_along_axis(bottom, j_end[:, None], axis=1)[:, 0]
+    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual))(ptr, j_end)
+    return {"score": score, "j_end": j_end, **tb}
+
+
+def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "auto"):
+    """Batched alignment front-end.
+
+    signals: (B, N); uses the Pallas kernel on TPU (B padded to 8, N to a
+    multiple of its chunk), the lax.scan kernel elsewhere.
+    Returns dict of per-read arrays (score, j_end, is_gap, jpos, j_begin).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    signals = jnp.asarray(signals, jnp.float32)
+    n_actual = jnp.asarray(n_actual, jnp.int32)
+    template = jnp.asarray(template, jnp.float32)
+    if impl == "pallas":
+        from .align_pallas import BATCH, CHUNK, pad_template
+
+        B, N = signals.shape
+        bpad = (-B) % BATCH
+        npad = (-N) % CHUNK
+        if bpad or npad:
+            signals = jnp.pad(signals, ((0, bpad), (0, npad)))
+            n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
+        tmpl_padded, m = pad_template(np.asarray(template))
+        outs = []
+        for b0 in range(0, signals.shape[0], BATCH):
+            outs.append(_align_batch_pallas(
+                signals[b0:b0 + BATCH], n_actual[b0:b0 + BATCH],
+                jnp.asarray(tmpl_padded), params, m))
+        out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
+        return out
+    inner = jax.vmap(lambda s, n: align_scan(s, n, template, params, True))
+    return inner(signals, n_actual)
 
 
 def _nearest_positions(is_gap: np.ndarray, jpos: np.ndarray, n: int) -> np.ndarray:

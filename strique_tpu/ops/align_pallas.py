@@ -1,0 +1,166 @@
+"""Pallas TPU kernel for the semi-global affine flank alignment.
+
+Same recurrence as :mod:`strique_tpu.ops.align` (column DP with the
+cummax-folded vertical-gap recursion), but as a single Mosaic kernel:
+
+  * 8 reads are processed together, one per VPU sublane row, so every
+    (8, 128) vector register is fully occupied;
+  * template rows live along lanes (padded to a multiple of 128);
+  * the kernel grid iterates over 128-column chunks sequentially (TPU
+    grid semantics), carrying the two inter-column DP state vectors in
+    VMEM scratch — per-column cost is a handful of vector ops instead of
+    a full XLA scan-step dispatch;
+  * per-column scalars are exchanged through masked lane selects, and
+    traceback pointers accumulate in a float32 scratch block that is
+    flushed to the int8 HBM output once per chunk (Mosaic forbids
+    dynamic lane indexing and sub-tile narrow-int stores).
+
+Pointer layout matches ops.align: byte at [read, j-1, i-1] describes DP
+cell (row i, column j); traceback reuses the same decoding.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .reference import AlignParams
+
+NEG = -1e30  # python float: pallas kernels must not capture array constants
+BATCH = 8
+CHUNK = 128
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_ref,
+                  ptr_ref, bottom_ref, S_ref, Ih_ref, bt_ref, pb_ref):
+    go_h = np.float32(params.gap_open_h)
+    go_v = np.float32(params.gap_open_v)
+    ge_h = np.float32(params.gap_extension_h)
+    ge_v = np.float32(params.gap_extension_v)
+    off = np.float32(params.dist_offset)
+    dmin = np.float32(params.dist_min)
+    g = np.float32(max(params.gap_extension_v, params.gap_open_v))
+
+    mp = S_ref.shape[1]  # padded row count (m_actual + 1 <= mp)
+    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (BATCH, mp), 1)
+    lane_i = lane_ii.astype(jnp.float32)
+    row0 = lane_ii == 0
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (BATCH, LANE), 1)
+
+    chunk = pl.program_id(0)
+
+    @pl.when(chunk == 0)
+    def _init():
+        S0 = go_v + ge_v * (lane_i - 1.0)
+        S_ref[:, :] = jnp.where(row0, 0.0, S0)
+        Ih_ref[:, :] = jnp.full((BATCH, mp), NEG)
+
+    tmpl = tmpl_ref[:, :]  # (1, mp) — value at lane i is template[i-1]; lane 0 pad
+    nact = nact_ref[:, :]  # (BATCH, 1)
+    sig_tile = sig_ref[:, :]  # (BATCH, CHUNK)
+
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full((BATCH, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    def col_body(c_in, _):
+        S = S_ref[:, :]
+        Ih = Ih_ref[:, :]
+        # per-read signal value: masked lane select from the aligned tile
+        sel = sel_iota == c_in
+        aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
+        diff = jnp.abs(aj - tmpl)
+        sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
+        newM = shift1(S, NEG) + sc
+        ih_ext = Ih + ge_h
+        ih_open = S + go_h
+        newIh = jnp.where(row0, NEG, jnp.maximum(ih_ext, ih_open))
+        Q = jnp.where(row0, 0.0, jnp.maximum(newM, newIh))
+        cvec = Q + go_v - (lane_i + 1.0) * g
+        k = 1
+        while k < mp:  # prefix max along lanes (log-step doubling)
+            cvec = jnp.maximum(cvec, jnp.concatenate(
+                [jnp.full((BATCH, k), NEG, jnp.float32), cvec[:, :-k]], axis=1))
+            k *= 2
+        newIv = jnp.where(row0, NEG, shift1(cvec, NEG) + lane_i * g)
+        newS = jnp.maximum(jnp.maximum(newM, newIh), newIv)
+        newS = jnp.where(row0, 0.0, newS)
+        # pointer bits: 0-1 best matrix (M=0,H=1,V=2), 2 Ih-extend, 3 Iv-extend
+        which = jnp.where(newM >= newS, 0, jnp.where(newIv >= newS, 2, 1))
+        ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
+        ivx = (shift1(newIv, NEG) + ge_v >= shift1(newS, 0.0) + go_v).astype(jnp.int32) << 3
+        pb = (which | ihx | ivx).astype(jnp.float32)
+        # store at lane i-1 for row i (matches ops.align layout)
+        pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
+        pb_ref[:, c_in, :] = pb_shifted
+        # bottom-row score, accumulated into an aligned 128-lane tile
+        j = chunk * CHUNK + c_in + 1
+        live = j <= nact
+        bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
+        bt_ref[:, :] = jnp.where(sel, bval, bt_ref[:, :])
+        S_ref[:, :] = newS
+        Ih_ref[:, :] = newIh
+        return _
+
+    jax.lax.fori_loop(0, CHUNK, col_body, None)
+    ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
+    bottom_ref[:, :] = bt_ref[:, :]
+
+
+@partial(jax.jit, static_argnames=("params", "m_actual"))
+def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams,
+                         m_actual: int):
+    """Forward DP for a batch of BATCH reads.
+
+    signals: (BATCH, N) float32, N a multiple of CHUNK.
+    template_padded: (1, MP) float32, lane i = template[i-1], MP multiple
+    of 128; pad lanes hold +1e30 so they never win.
+    Returns (ptr (BATCH, N, MP) int8, bottom (BATCH, N) f32).
+    """
+    B, N = signals.shape
+    assert B == BATCH and N % CHUNK == 0
+    mp = template_padded.shape[1]
+    grid = (N // CHUNK,)
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    ptr, bottom = pl.pallas_call(
+        partial(_align_kernel, params, m_actual),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BATCH, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BATCH, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BATCH, CHUNK, mp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BATCH, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, mp), jnp.int8),
+            jax.ShapeDtypeStruct((B, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BATCH, mp), jnp.float32),
+            pltpu.VMEM((BATCH, mp), jnp.float32),
+            pltpu.VMEM((BATCH, LANE), jnp.float32),
+            pltpu.VMEM((BATCH, CHUNK, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(signals, template_padded, n_actual[:, None].astype(jnp.int32))
+    return ptr, bottom
+
+
+def pad_template(template: np.ndarray) -> tuple[np.ndarray, int]:
+    """Template (M,) -> (1, MP) lane layout with +inf pads; returns (padded, M)."""
+    m = len(template)
+    mp = _round_up(m + 1, LANE)
+    out = np.full((1, mp), 1e30, np.float32)
+    out[0, 1 : m + 1] = template
+    return out, m

@@ -1,0 +1,230 @@
+"""Pallas TPU kernels for dense max-plus Viterbi decoding.
+
+Forward: per time step the candidate matrix ``score[u] + trans[u, v]``
+is reduced over the source-state sublane axis on the VPU; the resulting
+row vector is flipped back into column orientation with a single
+identity matmul on the MXU (cheaper than a vector relayout).  Scores are
+rescaled by the per-step max so float32 keeps full precision on argmax
+margins; backpointers stream to HBM through the blocked output.
+
+Backward: a second kernel walks the backpointer array in reverse chunk
+order entirely in VMEM, extracting ``bp[t, state]`` with a one-hot lane
+select per step.
+
+States are padded to a multiple of 128 lanes; pad states get -inf
+start/transition mass and never win.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+CHUNK_T = 512
+LANE = 128
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _fwd_kernel(obs_ref, tact_ref, trans_ref, start_ref, mu_ref, sig_ref,
+                uni_ref, luni_ref, bp_ref, score_out_ref, acc_out_ref,
+                col_ref, acc_ref):
+    sp = trans_ref.shape[0]
+    tc = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    eye = (sub == lane2).astype(jnp.float32)
+    t_actual = tact_ref[0, 0]
+
+    def emit_row(x):
+        z = (x - mu_ref[:, :]) / sig_ref[:, :]
+        norm = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :]) - 0.5 * z * z
+        return jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], norm)
+
+    @pl.when(tc == 0)
+    def _init():
+        row0 = start_ref[:, :] + emit_row(obs_ref[0, 0])
+        m0 = jnp.max(row0)
+        col_ref[:, :] = jax.lax.dot_general(
+            eye, row0 - m0, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[0, 0] = m0
+
+    def body(i, _):
+        # global time index t: bp[t] describes the transition into time t
+        # (row 0 is an identity placeholder — time 0 has no transition)
+        t = tc * bp_ref.shape[0] + i
+        score_col = col_ref[:, :]  # (SP, 1)
+        cand = score_col + trans_ref[:, :]  # (SP_u, SP_v)
+        new_row = jnp.max(cand, axis=0, keepdims=True)  # (1, SP)
+        # first-max tie-break: min source index among maxima
+        hits = jnp.where(cand >= new_row, sub, sp)
+        bp_row = jnp.min(hits, axis=0, keepdims=True)  # (1, SP) int32
+        x = obs_ref[0, i]  # SMEM scalar read, chunk-local index
+        new_row = new_row + emit_row(x)
+        m = jnp.max(new_row)
+        live = (t > 0) & (t < t_actual)
+        new_col = jax.lax.dot_general(
+            eye, new_row - m, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col_ref[:, :] = jnp.where(live, new_col, score_col)
+        acc_ref[0, 0] = acc_ref[0, 0] + jnp.where(live, m, 0.0)
+        bp_ref[i, :] = jnp.where(live, bp_row, lane)[0, :].astype(jnp.float32)
+        return _
+
+    jax.lax.fori_loop(0, bp_ref.shape[0], body, None)
+
+    @pl.when(tc == pl.num_programs(1) - 1)
+    def _fin():
+        score_out_ref[:, :] = col_ref[:, :].reshape(1, sp)
+        # scalar stores to VMEM are not allowed; write a (1,1) vector
+        acc_out_ref[:, :] = jnp.full((1, 1), acc_ref[0, 0], jnp.float32)
+
+
+def _bwd_kernel(bp_ref, last_ref, path_ref, state_ref):
+    sp = bp_ref.shape[1]
+    tc = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+
+    @pl.when(tc == 0)
+    def _init():
+        state_ref[0, 0] = last_ref[0, 0]
+
+    chunk = bp_ref.shape[0]
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def body(k, path_row):
+        i = chunk - 1 - k
+        st = state_ref[0, 0]
+        # accumulate the path in a register-carried row (no scalar VMEM stores)
+        path_row = jnp.where(lane_c == i, st.astype(jnp.float32), path_row)
+        row = bp_ref[i, :].astype(jnp.int32)[None, :]
+        prev = jnp.max(jnp.where(lane == st, row, -1))
+        state_ref[0, 0] = prev
+        return path_row
+
+    path_row = jax.lax.fori_loop(0, chunk, body, jnp.zeros((1, chunk), jnp.float32))
+    path_ref[:, :] = jnp.broadcast_to(path_row, path_ref.shape)
+
+
+@partial(jax.jit, static_argnames=())
+def viterbi_forward_pallas(obs, t_actual, trans, start_row, mu, sigma, uni, luni):
+    """Forward pass for one read.
+
+    obs: (T,) f32, T multiple of CHUNK_T; state tensors padded to SP lanes.
+    Returns (bp (T, SP) f32-coded ints, final_row (1, SP), acc (1,1)).
+    bp[t] describes the transition into observation t+1 (bp[T-1..] pads).
+    """
+    T = obs.shape[0]
+    sp = trans.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    grid = (1, T // CHUNK_T)
+    bp, final_row, acc = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, CHUNK_T), lambda b, i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sp, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK_T, sp), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, sp), jnp.float32),
+            jax.ShapeDtypeStruct((1, sp), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sp, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(obs[None, :], jnp.reshape(t_actual.astype(jnp.int32), (1, 1)),
+      trans, start_row, mu, sigma, uni, luni)
+    return bp, final_row, acc
+
+
+@partial(jax.jit, static_argnames=())
+def viterbi_backward_pallas(bp, last):
+    """Walk bp (T, SP) back from ``last``; returns path (T,) int32."""
+    T, sp = bp.shape
+    interpret = jax.default_backend() != "tpu"
+    n_chunks = T // CHUNK_T
+    grid = (1, n_chunks)
+    path = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((CHUNK_T, sp), lambda b, i: (n_chunks - 1 - i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, CHUNK_T), lambda b, i: (0, n_chunks - 1 - i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(bp, jnp.reshape(last.astype(jnp.int32), (1, 1)))
+    return path[0].astype(jnp.int32)
+
+
+class PaddedHMM:
+    """Lane-padded device tensors for a CompiledHMM."""
+
+    def __init__(self, chm):
+        S = chm.n_states
+        sp = _round_up(max(S, LANE), LANE)
+        self.sp = sp
+        self.n_states = S
+        trans = np.full((sp, sp), NEG, np.float32)
+        trans[:S, :S] = np.maximum(chm.log_trans, NEG).astype(np.float32)
+        start = np.full((1, sp), NEG, np.float32)
+        start[0, :S] = np.maximum(chm.log_start, NEG).astype(np.float32)
+        end = np.full((1, sp), NEG, np.float32)
+        end[0, :S] = np.maximum(chm.log_end, NEG).astype(np.float32)
+        mu = np.zeros((1, sp), np.float32)
+        mu[0, :S] = chm.mu
+        sigma = np.ones((1, sp), np.float32)
+        sigma[0, :S] = chm.sigma
+        uni = np.zeros((1, sp), np.int32)
+        uni[0, :S] = chm.is_uniform
+        luni = np.zeros((1, sp), np.float32)
+        luni[0, :S] = chm.log_uni
+        self.trans = jnp.asarray(trans)
+        self.start = jnp.asarray(start)
+        self.end = jnp.asarray(end)
+        self.mu = jnp.asarray(mu)
+        self.sigma = jnp.asarray(sigma)
+        self.uni = jnp.asarray(uni)
+        self.luni = jnp.asarray(luni)
+
+
+def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
+    """Full decode for one read; matches ops.viterbi.viterbi_scan outputs."""
+    T = obs.shape[0]
+    assert T % CHUNK_T == 0, "pad T to the kernel chunk"
+    bp, final_row, acc = viterbi_forward_pallas(
+        obs.astype(jnp.float32), t_actual, ph.trans, ph.start,
+        ph.mu, ph.sigma, ph.uni, ph.luni)
+    final = final_row + ph.end
+    last = jnp.argmax(final[0]).astype(jnp.int32)
+    logp = final[0, last] + acc[0, 0]
+    path = viterbi_backward_pallas(bp, last)
+    return logp, path

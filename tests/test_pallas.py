@@ -1,0 +1,93 @@
+"""Pallas kernel parity vs the XLA scan kernels (interpreter mode on CPU).
+
+The same kernels run compiled on TPU; these tests pin the math. TPU
+execution parity is exercised by bench.py on real hardware.
+"""
+import numpy as np
+import pytest
+
+from strique_tpu.ops.reference import AlignParams
+
+
+def test_align_pallas_matches_scan():
+    import jax.numpy as jnp
+
+    from strique_tpu.ops.align import align_batch
+
+    rng = np.random.default_rng(0)
+    B, N, M = 8, 512, 40
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(4):
+        st = 50 + i * 60
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = rng.integers(300, 500, B).astype(np.int32)
+    ref = align_batch(signals, na, template, p, impl="xla")
+    got = align_batch(signals, na, template, p, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ref["score"]), np.asarray(got["score"]), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ref["j_end"]), np.asarray(got["j_end"]))
+    np.testing.assert_array_equal(np.asarray(ref["is_gap"]), np.asarray(got["is_gap"]))
+    np.testing.assert_array_equal(np.asarray(ref["jpos"]), np.asarray(got["jpos"]))
+
+
+def test_align_pallas_affine_params():
+    from strique_tpu.ops.align import align_batch
+
+    rng = np.random.default_rng(1)
+    p = AlignParams(gap_open_h=-3.0, gap_extension_h=-0.5, gap_open_v=-20.0, gap_extension_v=-4.0)
+    B, N, M = 8, 256, 24
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    na = np.full(B, N - 10, np.int32)
+    ref = align_batch(signals, na, template, p, impl="xla")
+    got = align_batch(signals, na, template, p, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ref["score"]), np.asarray(got["score"]), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(ref["jpos"]), np.asarray(got["jpos"]))
+
+
+def test_viterbi_pallas_matches_scan():
+    import jax.numpy as jnp
+
+    from strique_tpu.hmm.graph import CompiledHMM
+    from strique_tpu.ops.viterbi import viterbi_scan
+    from strique_tpu.ops.viterbi_pallas import PaddedHMM, viterbi_pallas
+    from tests.test_viterbi import random_hmm
+
+    rng = np.random.default_rng(2)
+    S, T, Tpad = 24, 400, 512
+    for trial in range(2):
+        hmm = random_hmm(rng, S)
+        chm = CompiledHMM(names=[str(i) for i in range(S)], log_start=hmm[0], log_trans=hmm[1],
+                          log_end=hmm[2], mu=hmm[3], sigma=hmm[4], is_uniform=hmm[5], log_uni=hmm[6])
+        ph = PaddedHMM(chm)
+        obs = np.zeros(Tpad, np.float32)
+        obs[:T] = rng.uniform(60, 120, T)
+        dev = [jnp.asarray(x, jnp.float32) if x.dtype != bool else jnp.asarray(x) for x in hmm]
+        lp_ref, p_ref = viterbi_scan(jnp.asarray(obs), jnp.int32(T), *dev)
+        lp, path = viterbi_pallas(jnp.asarray(obs), jnp.int32(T), ph)
+        assert np.isclose(float(lp), float(lp_ref), rtol=1e-4), f"trial {trial}"
+        np.testing.assert_array_equal(np.asarray(path)[:T], np.asarray(p_ref)[:T])
+
+
+def test_prep_matches_host():
+    import jax.numpy as jnp
+
+    from strique_tpu.ops import signal as sig_ops
+    from strique_tpu.ops.prep import model_const, preprocess
+    from strique_tpu.pore_model import PoreModel, mean_abs_dev
+
+    pm = PoreModel("/root/reference/models/r9_4_450bps.model")
+    rng = np.random.default_rng(3)
+    n, npad = 3000, 4096
+    raw = rng.integers(400, 800, n).astype(np.float64)
+    pad = np.zeros(npad, np.float32)
+    pad[:n] = raw
+    out = preprocess(jnp.asarray(pad), jnp.int32(n), model_const(pm))
+    flt = sig_ops.medfilt3(raw)
+    q = sig_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
+    morph = sig_ops.open_close_np(q)
+    np.testing.assert_allclose(np.asarray(out["morph_n"])[:n],
+                               pm.normalize2model(morph, mode="minmax"), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["flt_n"])[:n],
+                               pm.normalize2model(flt, mode="minmax"), atol=1e-4)
