@@ -35,8 +35,9 @@ def main():
     from strique_tpu.detect.counter import RepeatCounter
     from strique_tpu.pore_model import PoreModel
 
-    n_warm = int(os.environ.get("BENCH_WARMUP", "2"))
-    n_reads = int(os.environ.get("BENCH_READS", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_warm = batch  # warm with one full-size batch so all shapes compile
+    n_reads = int(os.environ.get("BENCH_READS", "64"))
     repeats = 100
 
     pm = PoreModel(MODEL_FILE)
@@ -51,8 +52,8 @@ def main():
     max_len = max(len(s) for s in sigs)
     sigs = [np.pad(s, (0, max_len - len(s)), mode="edge") for s in sigs]
 
-    batch = 8
     correct = 0
+    counter.detect_many("c9orf72", sigs[:n_warm], "+")
     counter.detect_many("c9orf72", sigs[:n_warm], "+")
     t0 = time.perf_counter()
     for b0 in range(n_warm, n_warm + n_reads, batch):

@@ -1,0 +1,229 @@
+// Native host runtime for strique-tpu.
+//
+// The TPU owns the DP compute path (Pallas kernels); this library owns the
+// host-side hot loops around it, mirroring where the reference kept native
+// code (reference src/align_raw.h, src/score_distance.h):
+//
+//   * per-read signal preprocessing (median filter, uint8 quantization,
+//     greyscale open/close, minmax tail statistics) — the per-read host
+//     cost that feeds the device pipeline;
+//   * a full semi-global affine-gap CPU aligner with traceback — an
+//     engine-parity fallback for hosts without an accelerator and the
+//     float32 oracle for kernel tests.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency).
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// preprocessing
+// ---------------------------------------------------------------------------
+
+// Median filter kernel 3 with zero-padded edges (scipy.signal.medfilt).
+void medfilt3_f64(const double* x, int64_t n, double* out) {
+    if (n == 0) return;
+    auto med3 = [](double a, double b, double c) {
+        double lo = std::min(a, b), hi = std::max(a, b);
+        return std::max(lo, std::min(hi, c));
+    };
+    out[0] = med3(0.0, x[0], n > 1 ? x[1] : 0.0);
+    for (int64_t i = 1; i + 1 < n; ++i) out[i] = med3(x[i - 1], x[i], x[i + 1]);
+    if (n > 1) out[n - 1] = med3(x[n - 2], x[n - 1], 0.0);
+}
+
+static double median_inplace(std::vector<double>& v) {
+    if (v.empty()) return std::nan("");
+    size_t mid = v.size() / 2;
+    std::nth_element(v.begin(), v.begin() + mid, v.end());
+    double hi = v[mid];
+    if (v.size() % 2) return hi;
+    std::nth_element(v.begin(), v.begin() + mid - 1, v.begin() + mid);
+    return 0.5 * (v[mid - 1] + hi);
+}
+
+// Mean absolute deviation about the median (reference STRique.py:142-143).
+double mad_f64(const double* x, int64_t n) {
+    std::vector<double> v(x, x + n);
+    double med = median_inplace(v);
+    double s = 0;
+    for (int64_t i = 0; i < n; ++i) s += std::fabs(x[i] - med);
+    return s / n;
+}
+
+double median_f64(const double* x, int64_t n) {
+    std::vector<double> v(x, x + n);
+    return median_inplace(v);
+}
+
+// Windowed min/max with clip-to-valid borders; erosion window [-l, w-1-l],
+// dilation [-(w-1-l), +l] (scipy.ndimage grey ops, even footprint).
+static void win_reduce(const double* x, int64_t n, int left, int right, bool is_min,
+                       double* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t a = std::max<int64_t>(0, i - left);
+        int64_t b = std::min<int64_t>(n - 1, i + right);
+        double v = x[a];
+        for (int64_t k = a + 1; k <= b; ++k)
+            v = is_min ? std::min(v, x[k]) : std::max(v, x[k]);
+        out[i] = v;
+    }
+}
+
+// quantize + open/close chain (reference STRique.py:591-595); w = 8.
+void morph_open_close_f64(const double* flt, int64_t n, double med, double mad,
+                          double* out) {
+    const int w = 8, l = w / 2;
+    std::vector<double> q(n), t(n);
+    for (int64_t i = 0; i < n; ++i) {
+        double v = (flt[i] - med) / mad * 24.0 + 127.0;
+        v = std::min(255.0, std::max(0.0, v));
+        q[i] = std::floor(v);
+    }
+    win_reduce(q.data(), n, l, w - 1 - l, true, t.data());    // erode
+    win_reduce(t.data(), n, w - 1 - l, l, false, q.data());   // dilate (open)
+    win_reduce(q.data(), n, w - 1 - l, l, false, t.data());   // dilate
+    win_reduce(t.data(), n, l, w - 1 - l, true, out);         // erode (close)
+}
+
+// Tail medians for minmax normalization (reference STRique.py:152-158).
+// Returns m5 and m95: medians of the <1st / >99th percentile tails.
+void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
+    std::vector<double> v(x, x + n);
+    std::sort(v.begin(), v.end());
+    auto pct = [&](double q) {
+        double pos = (n - 1) * q / 100.0;
+        int64_t lo = (int64_t)std::floor(pos);
+        int64_t hi = std::min(lo + 1, n - 1);
+        double w = pos - lo;
+        return v[lo] * (1.0 - w) + v[hi] * w;
+    };
+    double q5 = pct(1.0), q95 = pct(99.0);
+    int64_t c5 = std::lower_bound(v.begin(), v.end(), q5) - v.begin();
+    int64_t c95 = n - (std::upper_bound(v.begin(), v.end(), q95) - v.begin());
+    *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
+    *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
+}
+
+// Full per-read preprocessing: raw signal -> normalized morph/flt channels.
+// model[4] = {m5_mod, m95_mod, clip_lo, clip_hi}.
+void preprocess_read(const double* raw, int64_t n, const double* model,
+                     double* morph_n, double* flt_n) {
+    std::vector<double> flt(n), morph(n);
+    medfilt3_f64(raw, n, flt.data());
+    double med = median_f64(flt.data(), n);
+    double mad = mad_f64(flt.data(), n);
+    morph_open_close_f64(flt.data(), n, med, mad, morph.data());
+    auto norm = [&](const double* ch, double* out) {
+        double m5, m95;
+        minmax_tails_f64(ch, n, &m5, &m95);
+        double half_sig = (m95 - m5) / 2.0, mid_sig = m5 + half_sig;
+        double half_mod = (model[1] - model[0]) / 2.0, mid_mod = model[0] + half_mod;
+        double scale = half_mod / half_sig, off = mid_mod - mid_sig * scale;
+        for (int64_t i = 0; i < n; ++i)
+            out[i] = std::min(model[3], std::max(model[2], ch[i] * scale + off));
+    };
+    norm(morph.data(), morph_n);
+    norm(flt.data(), flt_n);
+}
+
+// ---------------------------------------------------------------------------
+// CPU semi-global affine aligner (fallback / oracle)
+// ---------------------------------------------------------------------------
+// Same semantics as the Pallas kernel and ops.align: free end gaps on the
+// signal axis, matrix preference M > V > H, extension over opening on ties,
+// leftmost end column.  Returns score; fills pos[m] with the nearest signal
+// index per template element (reference __detect_range__ argmin semantics)
+// and gap[m] flags.
+float align_semiglobal_f32(const float* a, int64_t n, const float* b, int64_t m,
+                           float dist_offset, float dist_min,
+                           float go_h, float go_v, float ge_h, float ge_v,
+                           int64_t* pos, uint8_t* gap) {
+    const float NEGF = -1e30f;
+    std::vector<float> S(m + 1), Ih(m + 1), Iv(m + 1), Sp(m + 1), Ihp(m + 1);
+    std::vector<uint8_t> ptr((size_t)n * m);
+    S[0] = 0.f;
+    Ih[0] = NEGF;
+    for (int64_t i = 1; i <= m; ++i) {
+        Iv[i] = go_v + ge_v * (i - 1);
+        S[i] = Iv[i];
+        Ih[i] = NEGF;
+    }
+    std::vector<float> bottom(n + 1);
+    bottom[0] = S[m];
+    for (int64_t j = 1; j <= n; ++j) {
+        Sp.swap(S);
+        Ihp.swap(Ih);
+        S[0] = 0.f;
+        Ih[0] = NEGF;
+        float iv_prev = NEGF;  // Iv[i-1] of this column
+        float s_prev = 0.f;    // S[i-1] of this column
+        for (int64_t i = 1; i <= m; ++i) {
+            float d = std::fabs(a[j - 1] - b[i - 1]);
+            float sc = dist_offset - (float)std::pow((double)d, 1.2);
+            if (sc < dist_min) sc = dist_min;
+            float M = Sp[i - 1] + sc;
+            float ihe = Ihp[i] + ge_h, iho = Sp[i] + go_h;
+            float H = std::max(ihe, iho);
+            float ive = iv_prev + ge_v, ivo = s_prev + go_v;
+            float V = std::max(ive, ivo);
+            float best = std::max(M, std::max(H, V));
+            uint8_t pb = (M >= best) ? 0 : ((V >= best) ? 2 : 1);
+            if (ihe >= iho) pb |= 4;
+            if (ive >= ivo) pb |= 8;
+            ptr[(size_t)(j - 1) * m + (i - 1)] = pb;
+            Ih[i] = H;
+            Iv[i] = V;
+            S[i] = best;
+            iv_prev = V;
+            s_prev = best;
+        }
+        bottom[j] = S[m];
+    }
+    int64_t j_end = 0;
+    float score = bottom[0];
+    for (int64_t j = 1; j <= n; ++j)
+        if (bottom[j] > score) { score = bottom[j]; j_end = j; }
+    // traceback (matches ops.align.traceback_pointers)
+    int64_t i = m, j = j_end;
+    int cur = (j > 0) ? (ptr[(size_t)(j - 1) * m + (i - 1)] & 3) : 2;
+    // raw per-element records: consumed at column j (diag) or left-of j (gap)
+    std::vector<int64_t> jp(m);
+    std::vector<uint8_t> gp(m);
+    while (i > 0) {
+        uint8_t byte = (j > 0) ? ptr[(size_t)(j - 1) * m + (i - 1)] : (uint8_t)(2 | 8);
+        bool is_m = cur == 0, is_h = cur == 1, is_v = cur == 2;
+        if (is_m || is_v) {
+            gp[i - 1] = is_v;
+            jp[i - 1] = j - 1;
+        }
+        int64_t ni = is_h ? i : i - 1;
+        int64_t nj = is_v ? j : j - 1;
+        int ext = is_h ? ((byte >> 2) & 1) : ((byte >> 3) & 1);
+        bool stay = !is_m && ext;
+        uint8_t nbyte = (nj > 0) ? ptr[(size_t)(nj - 1) * m + (ni - 1)] : (uint8_t)(2 | 8);
+        cur = stay ? cur : (ni > 0 ? (nbyte & 3) : 0);
+        i = ni;
+        j = nj;
+    }
+    // nearest-position fix-up for vertical-gap runs (argmin view semantics)
+    for (int64_t k = 0; k < m;) {
+        if (!gp[k]) { pos[k] = jp[k]; gap[k] = 0; ++k; continue; }
+        int64_t k2 = k;
+        while (k2 + 1 < m && gp[k2 + 1] && jp[k2 + 1] == jp[k]) ++k2;
+        int64_t L = k2 - k + 1, jl = jp[k];
+        for (int64_t r = 0; r < L; ++r) {
+            int64_t p = (r + 1) <= (L - r) ? jl : jl + 1;
+            pos[k + r] = std::min(std::max(p, (int64_t)0), n - 1);
+            gap[k + r] = 1;
+        }
+        k = k2 + 1;
+    }
+    return score;
+}
+
+}  // extern "C"

@@ -178,14 +178,25 @@ class RepeatCounter:
         B = len(raw_signals)
         raws = [np.asarray(r, dtype=np.float64) for r in raw_signals]
         n_sigs = np.array([len(r) for r in raws], dtype=np.int32)
-        # host preprocessing (float64, exact scipy semantics)
+        # host preprocessing (float64, exact scipy semantics); the native
+        # C++ path is a single pass per read, NumPy otherwise
+        from .. import native as native_lib
+        from ..ops.prep import model_const
+
         morphs, flts = [], []
-        for raw in raws:
-            flt = signal_ops.medfilt3(raw)
-            morph = signal_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
-            morph = signal_ops.open_close_np(morph)
-            morphs.append(self.pm.normalize2model(morph, mode="minmax"))
-            flts.append(self.pm.normalize2model(flt, mode="minmax"))
+        if native_lib.available():
+            mc = model_const(self.pm)
+            for raw in raws:
+                morph_n, flt_n = native_lib.preprocess_read(raw, mc)
+                morphs.append(morph_n)
+                flts.append(flt_n)
+        else:
+            for raw in raws:
+                flt = signal_ops.medfilt3(raw)
+                morph = signal_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
+                morph = signal_ops.open_close_np(morph)
+                morphs.append(self.pm.normalize2model(morph, mode="minmax"))
+                flts.append(self.pm.normalize2model(flt, mode="minmax"))
 
         npad = pad_bucket(int(n_sigs.max()))
         from ..ops.align_pallas import CHUNK as ALIGN_CHUNK
