@@ -40,6 +40,12 @@ def cmd_count(argv) -> int:
     parser.add_argument("--mod_model", default=None, help="Base modification pore model")
     parser.add_argument("--config", help="Config file with HMM transition probabilities")
     parser.add_argument("--t", type=int, default=1, help="Host IO worker threads")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="Reads per batched device invocation (1 disables batching)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Append to --out, skipping read IDs already counted")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="Write a jax.profiler trace of the run to DIR")
     parser.add_argument("--log_level", default="warning",
                         choices=["error", "warning", "info", "debug"], help="Log level")
     args = parser.parse_args(argv)
@@ -55,22 +61,38 @@ def cmd_count(argv) -> int:
     from .detect.writer import OutputWriter
     from .parallel.dispatcher import run_pipeline
 
+    from .detect.writer import processed_ids
+
     rd = RepeatDetector(config["repeat"], args.model, args.f5Index,
                         mod_model_file=args.mod_model, align_config=config["align"],
                         hmm_config=config["HMM"])
-    ow = OutputWriter(args.out)
+    done = processed_ids(args.out) if args.resume else set()
+    ow = OutputWriter(args.out, append=args.resume)
+    if done:
+        log(f"Main: Resuming; {len(done)} reads already counted.", LogLevel.Info)
 
     def sam_lines():
         stream = open(args.algn, "r") if args.algn else sys.stdin
         try:
             for line in stream:
-                if not line.startswith("@"):
-                    yield line
+                if line.startswith("@"):
+                    continue
+                if done and line.split("\t", 1)[0] in done:
+                    continue
+                yield line
         finally:
             if args.algn:
                 stream.close()
 
-    n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t, batch_size=args.batch)
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     log(f"Main: Processed {n} alignments.", LogLevel.Info)
     ulog.close()
     return 0

@@ -32,11 +32,8 @@ class RepeatDetector:
             self.repeat_loci[chrom].append((target_name, begin, end))
         self.is_init = True
 
-    def detect(self, sam_line: str = ""):
-        """Process one SAM line -> {'target_counts': [...]} or None
-        (reference :681-705)."""
-        if not self.is_init:
-            self._init_targets()
+    def _decode_and_fetch(self, sam_line: str):
+        """SAM line -> (record, matching targets, raw signal) or None."""
         sr = decode_sam(sam_line)
         if not sr.QNAME:
             log(f"Detector: Error parsing alignment \n{sam_line}", LogLevel.Error)
@@ -53,8 +50,44 @@ class RepeatDetector:
             log(f"Detector: No fast5 for ID {sr.QNAME}", LogLevel.Warning)
             return None
         log(f"Detector: Test {sr.QNAME} for targets: {','.join(target_names)}.", LogLevel.Debug)
+        return sr, target_names, raw
+
+    def detect(self, sam_line: str = ""):
+        """Process one SAM line -> {'target_counts': [...]} or None
+        (reference :681-705)."""
+        if not self.is_init:
+            self._init_targets()
+        job = self._decode_and_fetch(sam_line)
+        if job is None:
+            return None
+        sr, target_names, raw = job
         target_counts = []
         for target_name in target_names:
             result = self.counter.detect(target_name, raw, sr.strand)
             target_counts.append((sr.QNAME, target_name, sr.strand, *result))
         return {"target_counts": target_counts}
+
+    def detect_batch(self, sam_lines):
+        """Process a batch of SAM lines with batched device calls.
+
+        Reads are grouped by (target, strand) so each group runs through
+        the batched counter (one aligner invocation per 8 reads on TPU).
+        Returns one {'target_counts': ...}-or-None per input line.
+        """
+        if not self.is_init:
+            self._init_targets()
+        jobs = [self._decode_and_fetch(line) for line in sam_lines]
+        per_line: list[list | None] = [None] * len(sam_lines)
+        groups: dict[tuple, list] = {}
+        for idx, job in enumerate(jobs):
+            if job is None:
+                continue
+            sr, target_names, raw = job
+            per_line[idx] = []
+            for t in target_names:
+                groups.setdefault((t, sr.strand), []).append((idx, sr.QNAME, raw))
+        for (target_name, strand), items in groups.items():
+            outs = self.counter.detect_many(target_name, [raw for _, _, raw in items], strand)
+            for (idx, qname, _), out in zip(items, outs):
+                per_line[idx].append((qname, target_name, strand, *out))
+        return [{"target_counts": tc} if tc else None for tc in per_line]

@@ -1,17 +1,42 @@
 """TSV output writer (reference scripts/STRique.py:711-727)."""
 from __future__ import annotations
 
+import os
+
 HEADER = ["ID", "target", "strand", "count", "score_prefix", "score_suffix",
           "log_p", "offset", "ticks", "mod"]
 
 
+def _has_header(path: str | None) -> bool:
+    if not path or not os.path.isfile(path):
+        return False
+    with open(path, "r") as fp:
+        return fp.readline().rstrip("\n").split("\t") == HEADER
+
+
+def processed_ids(path: str | None) -> set:
+    """Read IDs already present in a count TSV (for resumable runs)."""
+    if not path or not os.path.isfile(path):
+        return set()
+    out = set()
+    with open(path, "r") as fp:
+        for line in fp:
+            if line.startswith("ID\t"):
+                continue
+            cols = line.split("\t", 1)
+            if cols and cols[0]:
+                out.add(cols[0])
+    return out
+
+
 class OutputWriter:
-    def __init__(self, output_file: str | None = None):
+    def __init__(self, output_file: str | None = None, append: bool = False):
         self.output_file = output_file
         line = "\t".join(HEADER)
         if self.output_file:
-            with open(self.output_file, "w") as fp:
-                print(line, file=fp)
+            if not (append and _has_header(output_file)):
+                with open(self.output_file, "w") as fp:
+                    print(line, file=fp)
         else:
             print(line)
 

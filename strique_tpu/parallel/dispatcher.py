@@ -18,14 +18,44 @@ from concurrent.futures import ThreadPoolExecutor
 from ..utils.logging import LogLevel, log
 
 
-def run_pipeline(sam_lines, detector, writer, io_threads: int = 1) -> int:
+def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
+                 batch_size: int = 1) -> int:
     """Stream SAM lines through detection into the writer.
 
-    Fast5 signal fetch + host preprocessing happen on ``io_threads``
-    threads; device calls serialize naturally inside detect.  Output
-    order follows completion order (like the reference's collector).
+    ``batch_size > 1`` groups lines and uses the detector's batched path
+    (one device invocation per read group).  With ``io_threads > 1`` the
+    per-read path overlaps fast5 IO + preprocessing across threads.
+    Output order follows completion order (like the reference's
+    collector).
     """
     n_processed = 0
+
+    if batch_size > 1:
+        buf = []
+
+        def flush():
+            nonlocal n_processed
+            try:
+                results = detector.detect_batch(buf)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in batch, proceeding with remaining reads.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+                results = [None] * len(buf)
+            n_processed += len(buf)
+            buf.clear()
+            for result in results:
+                if result:
+                    writer.write_line(**result)
+
+        for line in sam_lines:
+            buf.append(line)
+            if len(buf) >= batch_size:
+                flush()
+        if buf:
+            flush()
+        return n_processed
 
     def work(line):
         try:

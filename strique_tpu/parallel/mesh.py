@@ -44,6 +44,26 @@ from ..ops.align import align_scan
 from ..ops.viterbi import emission_logp
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Initialize multi-host JAX (idempotent); returns this process' index.
+
+    With no arguments, relies on the cluster environment (TPU pod
+    metadata / JAX_COORDINATOR_ADDRESS etc.).  After initialization,
+    ``make_mesh`` spans all hosts' devices and the ``data`` axis shards
+    reads across the pod; per-host TSV shards concatenate to the final
+    output exactly like the reference's unordered collector stream.
+    """
+    if jax.process_count() > 1 or coordinator is None and num_processes is None:
+        try:
+            return jax.process_index()
+        except Exception:
+            pass
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes, process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
     """Build a mesh; default 1-D ``data`` axis over all devices."""
     devices = list(devices if devices is not None else jax.devices())

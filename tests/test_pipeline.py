@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests: batched dispatcher, CLI count over synthetic
+fast5 + SAM, plot output, config parsing, logger."""
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+from strique_tpu.pore_model import PoreModel
+
+MODEL = "/root/reference/models/r9_4_450bps.model"
+ROW = open("/root/reference/configs/repeat_config.tsv").read().strip().split("\n")[1].split()
+REPEAT, PREFIX, SUFFIX = ROW[4], ROW[5], ROW[6]
+
+
+def make_single_f5(path, read_id, signal):
+    with h5py.File(path, "w") as f:
+        g = f.create_group("Raw/Reads/Read_1")
+        g.attrs["read_id"] = np.bytes_(read_id.encode())
+        g.create_dataset("Signal", data=np.asarray(signal, np.int16))
+
+
+@pytest.fixture(scope="module")
+def synthetic_run(tmp_path_factory):
+    """A tiny sequencing run: 3 reads with known repeat counts + SAM."""
+    d = tmp_path_factory.mktemp("run")
+    pm = PoreModel(MODEL)
+    rng = np.random.default_rng(0)
+    backbone = "".join(rng.choice(list("ACTG"), 1000))
+    counts = {"read-a": 12, "read-b": 20, "read-c": 16}
+    for rid, n in counts.items():
+        seq = backbone[:500] + PREFIX + REPEAT * n + SUFFIX + backbone[-500:]
+        sig = pm.generate_signal(seq, samples=8)
+        # signals are in pA model space; store as int16 counts scaled up
+        make_single_f5(d / f"{rid}.fast5", rid, (sig * 10).astype(np.int16))
+    from strique_tpu.io import fast5
+
+    fofn = d / "reads.fofn"
+    fofn.write_text("\n".join(fast5.index(str(d))) + "\n")
+    # repeat config for the c9orf72 locus; SAM rows spanning it
+    repeat_tsv = d / "repeats.tsv"
+    repeat_tsv.write_text(
+        "chr\tbegin\tend\tname\trepeat\tprefix\tsuffix\n"
+        f"chr9\t27573527\t27573544\tc9orf72\t{REPEAT}\t{PREFIX}\t{SUFFIX}\n")
+    sam = d / "algn.sam"
+    lines = ["@HD\tVN:1.6"]
+    for rid in counts:
+        lines.append(f"{rid}\t0\tchr9\t27541232\t60\t40000M\t*\t0\t0\t*\t*")
+    sam.write_text("\n".join(lines) + "\n")
+    return d, fofn, repeat_tsv, sam, counts
+
+
+def test_count_cli_batched(synthetic_run):
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.cli import main
+
+    out = d / "counts.tsv"
+    rc = main(["count", str(fofn), MODEL, str(repeat_tsv), "--algn", str(sam),
+               "--out", str(out), "--batch", "4"])
+    assert rc == 0
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    assert len(rows) == 3
+    got = {r[0]: int(r[3]) for r in rows}
+    assert got == counts
+
+
+def test_detect_batch_matches_detect(synthetic_run):
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.detect.detector import RepeatDetector
+    from strique_tpu.utils.config import parse_config
+
+    config = parse_config(str(repeat_tsv))
+    rd = RepeatDetector(config["repeat"], MODEL, str(fofn))
+    lines = [l for l in open(sam) if not l.startswith("@")]
+    batched = rd.detect_batch(lines)
+    for line, bres in zip(lines, batched):
+        sres = rd.detect(line)
+        assert (bres is None) == (sres is None)
+        if bres:
+            assert bres["target_counts"] == sres["target_counts"]
+
+
+def test_plot_cli_writes_png(synthetic_run, tmp_path):
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.cli import main
+
+    counts_tsv = d / "counts.tsv"
+    if not counts_tsv.exists():
+        pytest.skip("count test must run first")
+    out_dir = tmp_path / "plots"
+    rc = main(["plot", str(fofn), "--counts", str(counts_tsv), "--output", str(out_dir)])
+    assert rc == 0
+    pngs = list(out_dir.glob("*.png"))
+    assert len(pngs) == 3
+
+
+def test_run_pipeline_fault_isolation(synthetic_run):
+    """A bad SAM line must not kill the pipeline (reference :764-768)."""
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.detect.detector import RepeatDetector
+    from strique_tpu.parallel.dispatcher import run_pipeline
+    from strique_tpu.utils.config import parse_config
+
+    class SinkWriter:
+        rows = []
+
+        def write_line(self, target_counts=()):
+            self.rows.extend(target_counts)
+
+    config = parse_config(str(repeat_tsv))
+    rd = RepeatDetector(config["repeat"], MODEL, str(fofn))
+    lines = [l for l in open(sam) if not l.startswith("@")]
+    lines.insert(1, "total garbage\n")
+    lines.insert(2, "missing-read\t0\tchr9\t27541232\t60\t40000M\t*\t0\t0\t*\t*\n")
+    w = SinkWriter()
+    n = run_pipeline(iter(lines), rd, w, batch_size=2)
+    assert n == 5
+    assert len(w.rows) == 3
+
+
+def test_parse_config_roundtrip(tmp_path):
+    from strique_tpu.utils.config import parse_config
+
+    cfg = parse_config("/root/reference/configs/repeat_config.tsv",
+                       "/root/reference/configs/STRique.json")
+    assert set(cfg["repeat"]) == {"c9orf72", "fmr1"}
+    assert cfg["align"]["samples"] == 6
+    assert cfg["HMM"]["match_loop"] == 0.75
+    chrom, begin, end, repeat, prefix, suffix = cfg["repeat"]["c9orf72"]
+    assert chrom == "chr9" and repeat == "GGCCCC"
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"align": 5}')
+    with pytest.raises(SystemExit):
+        parse_config("/root/reference/configs/repeat_config.tsv", str(bad))
+
+
+def test_logger_levels(capsys, tmp_path):
+    from strique_tpu.utils import logging as ulog
+
+    logf = tmp_path / "log.txt"
+    ulog.init(file=str(logf), log_level="warning")
+    ulog.log("visible", ulog.LogLevel.Warning)
+    ulog.log("hidden", ulog.LogLevel.Debug)
+    ulog.close()
+    text = logf.read_text()
+    assert "visible" in text and "hidden" not in text
+    assert "[WARNING]" in text
+
+
+def test_count_cli_resume(synthetic_run, tmp_path):
+    """--resume appends and skips already-counted reads."""
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.cli import main
+
+    out = tmp_path / "counts.tsv"
+    # first run: only read-a (truncate SAM)
+    sam1 = tmp_path / "one.sam"
+    lines = [l for l in open(sam)]
+    sam1.write_text("".join(lines[:2]))
+    assert main(["count", str(fofn), MODEL, str(repeat_tsv), "--algn", str(sam1),
+                 "--out", str(out)]) == 0
+    assert len(out.read_text().strip().split("\n")) == 2
+    # resume with the full SAM: the counted read is skipped, others added
+    assert main(["count", str(fofn), MODEL, str(repeat_tsv), "--algn", str(sam),
+                 "--out", str(out), "--resume"]) == 0
+    rows = out.read_text().strip().split("\n")
+    assert len(rows) == 4  # header + 3 reads, no duplicates
+    ids = [r.split("\t")[0] for r in rows[1:]]
+    assert sorted(ids) == sorted(counts)

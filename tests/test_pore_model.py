@@ -70,3 +70,17 @@ def test_generate_signal(pm):
 def test_mad(pm):
     x = np.array([1.0, 2.0, 10.0])
     assert mean_abs_dev(x) == np.mean(np.abs(x - 2.0))
+
+
+def test_normalize_entropy_mode(pm):
+    """Entropy mode: change-point-masked median/MAD normalization
+    (reference STRique.py:161-172)."""
+    rng = np.random.default_rng(4)
+    # two-level signal with change points
+    sig = np.concatenate([rng.normal(400, 5, 3000), rng.normal(600, 5, 3000)])
+    out = pm.normalize2model(sig, mode="entropy")
+    assert out.shape == sig.shape
+    assert np.all(out >= pm.model_min + 0.5 - 1e-9)
+    assert np.all(out <= pm.model_max - 0.5 + 1e-9)
+    # normalized signal must land in model space
+    assert pm.model_min < np.median(out) < pm.model_max
