@@ -56,8 +56,16 @@ def main():
     counter.detect_many("c9orf72", sigs[:n_warm], "+")
     counter.detect_many("c9orf72", sigs[:n_warm], "+")
     t0 = time.perf_counter()
+    # depth-2 pipeline: next batch's preprocessing+alignment overlaps this
+    # batch's transfers and Viterbi
+    pending = []
     for b0 in range(n_warm, n_warm + n_reads, batch):
-        for res in counter.detect_many("c9orf72", sigs[b0:b0 + batch], "+"):
+        pending.append(counter.detect_submit("c9orf72", sigs[b0:b0 + batch], "+"))
+        if len(pending) >= 2:
+            for res in counter.detect_finish(pending.pop(0)):
+                correct += int(res[0] == repeats)
+    for state in pending:
+        for res in counter.detect_finish(state):
             correct += int(res[0] == repeats)
     dt = time.perf_counter() - t0
 

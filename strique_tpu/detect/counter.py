@@ -168,6 +168,15 @@ class RepeatCounter:
         Alignment runs as one batched device call (8 reads per Pallas
         kernel invocation on TPU); Viterbi decodes follow per read.
         """
+        return self.detect_finish(self.detect_submit(target_name, raw_signals, strand))
+
+    def detect_submit(self, target_name: str, raw_signals, strand: str) -> dict:
+        """Phase 1: preprocessing + alignment dispatch (returns a handle).
+
+        The alignment results start copying to the host asynchronously;
+        callers can submit the next batch before calling
+        :meth:`detect_finish` so device compute and transfers overlap.
+        """
         tc_plus, tc_minus = self.targets[target_name]
         if strand == "+":
             tc = tc_plus
@@ -205,19 +214,36 @@ class RepeatCounter:
         morph_pad = np.zeros((B, npad), dtype=np.float32)
         for i, m in enumerate(morphs):
             morph_pad[i, : len(m)] = m
-        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
-        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
         import jax.numpy as jnp
 
         pre = align_ops.align_batch(morph_pad, n_sigs, tc.prefix_ext, self.align_params)
         suf = align_ops.align_batch(morph_pad, n_sigs, tc.suffix_ext, self.align_params)
         # one packed D2H per batch: the tunnel's transfer latency is flat,
         # so per-array conversions would dominate the whole pipeline
-        mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
-        packed = np.asarray(jnp.concatenate([
+        packed_dev = jnp.concatenate([
             pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
             suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
-        ], axis=1))
+        ], axis=1)
+        try:
+            packed_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return {"tc": tc, "packed": packed_dev, "raws": raws, "flts": flts,
+                "n_sigs": n_sigs, "B": B}
+
+    def detect_finish(self, state: dict):
+        """Phase 2: collect alignment results, decode, run Viterbi."""
+        import jax.numpy as jnp
+
+        tc = state["tc"]
+        raws = state["raws"]
+        flts = state["flts"]
+        n_sigs = state["n_sigs"]
+        B = state["B"]
+        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
+        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
+        mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
+        packed = np.asarray(state["packed"])
         o = 0
         pre_score = packed[:, o]; o += 1
         pre_jpos = packed[:, o : o + mp_].astype(np.int64); o += mp_

@@ -74,6 +74,15 @@ class RepeatDetector:
         the batched counter (one aligner invocation per 8 reads on TPU).
         Returns one {'target_counts': ...}-or-None per input line.
         """
+        return self.detect_batch_finish(self.detect_batch_submit(sam_lines))
+
+    def detect_batch_submit(self, sam_lines):
+        """Phase 1: decode, fetch signals, dispatch alignment per group.
+
+        Returns a handle for :meth:`detect_batch_finish`; submitting the
+        next batch before finishing this one overlaps device compute
+        with host work and transfers.
+        """
         if not self.is_init:
             self._init_targets()
         jobs = [self._decode_and_fetch(line) for line in sam_lines]
@@ -86,8 +95,17 @@ class RepeatDetector:
             per_line[idx] = []
             for t in target_names:
                 groups.setdefault((t, sr.strand), []).append((idx, sr.QNAME, raw))
+        submitted = []
         for (target_name, strand), items in groups.items():
-            outs = self.counter.detect_many(target_name, [raw for _, _, raw in items], strand)
+            state = self.counter.detect_submit(target_name, [raw for _, _, raw in items], strand)
+            submitted.append((target_name, strand, items, state))
+        return per_line, submitted
+
+    def detect_batch_finish(self, handle):
+        """Phase 2: collect per-group results and reassemble per line."""
+        per_line, submitted = handle
+        for target_name, strand, items, state in submitted:
+            outs = self.counter.detect_finish(state)
             for (idx, qname, _), out in zip(items, outs):
                 per_line[idx].append((qname, target_name, strand, *out))
         return [{"target_counts": tc} if tc else None for tc in per_line]

@@ -31,20 +31,34 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
     n_processed = 0
 
     if batch_size > 1:
-        buf = []
+        from collections import deque
 
-        def flush():
-            nonlocal n_processed
+        buf = []
+        pending = deque()  # (n_lines, handle) — depth-2 pipeline
+
+        def submit(lines):
             try:
-                results = detector.detect_batch(buf)
+                return detector.detect_batch_submit(lines)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in batch submit, proceeding.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+                return None
+
+        def collect(n_lines, handle):
+            nonlocal n_processed
+            n_processed += n_lines
+            if handle is None:
+                return
+            try:
+                results = detector.detect_batch_finish(handle)
             except KeyboardInterrupt:
                 raise
             except Exception:
                 log("Factory: Unexpected error in batch, proceeding with remaining reads.\n"
                     + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
-                results = [None] * len(buf)
-            n_processed += len(buf)
-            buf.clear()
+                return
             for result in results:
                 if result:
                     writer.write_line(**result)
@@ -52,9 +66,14 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
         for line in sam_lines:
             buf.append(line)
             if len(buf) >= batch_size:
-                flush()
+                pending.append((len(buf), submit(buf)))
+                buf = []
+                if len(pending) >= 2:
+                    collect(*pending.popleft())
         if buf:
-            flush()
+            pending.append((len(buf), submit(buf)))
+        while pending:
+            collect(*pending.popleft())
         return n_processed
 
     def work(line):
