@@ -158,7 +158,8 @@ def _align_batch_pallas(signals, n_actual, template_padded,
     bottom = jnp.concatenate([jnp.full((signals.shape[0], 1), b0), bottom], axis=1)
     j_end = jnp.argmax(bottom, axis=1).astype(jnp.int32)
     score = jnp.take_along_axis(bottom, j_end[:, None], axis=1)[:, 0]
-    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual))(ptr, j_end)
+    # ptr layout is (N, B, MP): vmap the traceback over the read axis 1
+    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual), in_axes=(1, 0))(ptr, j_end)
     return {"score": score, "j_end": j_end, **tb}
 
 

@@ -98,9 +98,10 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
         ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
         ivx = (shift1(newIv, NEG) + ge_v >= shift1(newS, 0.0) + go_v).astype(jnp.int32) << 3
         pb = (which | ihx | ivx).astype(jnp.float32)
-        # store at lane i-1 for row i (matches ops.align layout)
+        # store at lane i-1 for row i (matches ops.align layout); scratch is
+        # (CHUNK, BATCH, mp) so each column writes one tile-aligned plane
         pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
-        pb_ref[:, c_in, :] = pb_shifted
+        pb_ref[c_in, :, :] = pb_shifted
         # bottom-row score, accumulated into an aligned 128-lane tile
         j = chunk * CHUNK + c_in + 1
         live = j <= nact
@@ -123,7 +124,8 @@ def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams
     signals: (BATCH, N) float32, N a multiple of CHUNK.
     template_padded: (1, MP) float32, lane i = template[i-1], MP multiple
     of 128; pad lanes hold +1e30 so they never win.
-    Returns (ptr (BATCH, N, MP) int8, bottom (BATCH, N) f32).
+    Returns (ptr (N, BATCH, MP) int8 — column-major across reads for
+    tile-aligned kernel stores — and bottom (BATCH, N) f32).
     """
     B, N = signals.shape
     assert B == BATCH and N % CHUNK == 0
@@ -139,18 +141,18 @@ def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams
             pl.BlockSpec((BATCH, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((BATCH, CHUNK, mp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, BATCH, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BATCH, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, mp), jnp.int8),
+            jax.ShapeDtypeStruct((N, B, mp), jnp.int8),
             jax.ShapeDtypeStruct((B, N), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BATCH, mp), jnp.float32),
             pltpu.VMEM((BATCH, mp), jnp.float32),
             pltpu.VMEM((BATCH, LANE), jnp.float32),
-            pltpu.VMEM((BATCH, CHUNK, mp), jnp.float32),
+            pltpu.VMEM((CHUNK, BATCH, mp), jnp.float32),
         ],
         interpret=interpret,
     )(signals, template_padded, n_actual[:, None].astype(jnp.int32))
