@@ -30,6 +30,16 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
     """
     n_processed = 0
 
+    import time
+
+    t_start = time.perf_counter()
+
+    def log_rate(n):
+        dt = time.perf_counter() - t_start
+        if n and dt > 0:
+            log(f"Factory: Processed {n} alignments in {dt:.1f}s "
+                f"({n / dt:.2f} reads/s).", LogLevel.Info)
+
     if batch_size > 1:
         from collections import deque
 
@@ -74,6 +84,7 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
             pending.append((len(buf), submit(buf)))
         while pending:
             collect(*pending.popleft())
+        log_rate(n_processed)
         return n_processed
 
     def work(line):
@@ -92,6 +103,7 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
             n_processed += 1
             if result:
                 writer.write_line(**result)
+        log_rate(n_processed)
         return n_processed
 
     with ThreadPoolExecutor(max_workers=io_threads) as pool:
@@ -111,4 +123,5 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
             n_processed += 1
             if result:
                 writer.write_line(**result)
+    log_rate(n_processed)
     return n_processed
