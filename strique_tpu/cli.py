@@ -39,7 +39,7 @@ def cmd_count(argv) -> int:
     parser.add_argument("--algn", default=None, help="Alignment in sam format, if not given read from stdin")
     parser.add_argument("--mod_model", default=None, help="Base modification pore model")
     parser.add_argument("--config", help="Config file with HMM transition probabilities")
-    parser.add_argument("--t", type=int, default=1, help="Host IO worker threads")
+    parser.add_argument("--t", type=int, default=1, help="Host IO worker threads (fast5 reads; also per-read mode workers)")
     parser.add_argument("--batch", type=int, default=8,
                         help="Reads per batched device invocation (1 disables batching)")
     parser.add_argument("--resume", action="store_true",

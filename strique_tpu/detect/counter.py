@@ -136,25 +136,6 @@ class RepeatCounter:
         return jax.default_backend() == "tpu"
 
     # -- detection ---------------------------------------------------------
-    def _viterbi(self, chm, segment: np.ndarray):
-        import jax.numpy as jnp
-
-        t = len(segment)
-        if self._use_pallas():
-            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas
-
-            tpad = max(((t + CHUNK_T - 1) // CHUNK_T) * CHUNK_T, CHUNK_T)
-            obs = np.zeros(tpad, dtype=np.float32)
-            obs[:t] = segment
-            logp, path = viterbi_pallas(jnp.asarray(obs), jnp.int32(t), self._padded_hmm(chm))
-            return float(logp), np.asarray(path)
-        tpad = pad_bucket(t)
-        obs = np.zeros(tpad, dtype=np.float32)
-        obs[:t] = segment
-        dev = self._device_hmm(chm)
-        logp, path = viterbi_ops.viterbi_scan(jnp.asarray(obs), jnp.int32(t), *dev)
-        return float(logp), np.asarray(path)
-
     def detect(self, target_name: str, raw_signal: np.ndarray, strand: str):
         """Count repeats in one read (reference ``repeatCounter.detect`` :581-616).
 

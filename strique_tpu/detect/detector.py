@@ -67,25 +67,32 @@ class RepeatDetector:
             target_counts.append((sr.QNAME, target_name, sr.strand, *result))
         return {"target_counts": target_counts}
 
-    def detect_batch(self, sam_lines):
+    def detect_batch(self, sam_lines, io_threads: int = 1):
         """Process a batch of SAM lines with batched device calls.
 
         Reads are grouped by (target, strand) so each group runs through
         the batched counter (one aligner invocation per 8 reads on TPU).
         Returns one {'target_counts': ...}-or-None per input line.
         """
-        return self.detect_batch_finish(self.detect_batch_submit(sam_lines))
+        return self.detect_batch_finish(self.detect_batch_submit(sam_lines, io_threads))
 
-    def detect_batch_submit(self, sam_lines):
+    def detect_batch_submit(self, sam_lines, io_threads: int = 1):
         """Phase 1: decode, fetch signals, dispatch alignment per group.
 
-        Returns a handle for :meth:`detect_batch_finish`; submitting the
-        next batch before finishing this one overlaps device compute
-        with host work and transfers.
+        ``io_threads > 1`` parallelizes the fast5 reads.  Returns a
+        handle for :meth:`detect_batch_finish`; submitting the next batch
+        before finishing this one overlaps device compute with host work
+        and transfers.
         """
         if not self.is_init:
             self._init_targets()
-        jobs = [self._decode_and_fetch(line) for line in sam_lines]
+        if io_threads > 1 and len(sam_lines) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=io_threads) as pool:
+                jobs = list(pool.map(self._decode_and_fetch, sam_lines))
+        else:
+            jobs = [self._decode_and_fetch(line) for line in sam_lines]
         per_line: list[list | None] = [None] * len(sam_lines)
         groups: dict[tuple, list] = {}
         for idx, job in enumerate(jobs):

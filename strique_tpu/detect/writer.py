@@ -7,13 +7,6 @@ HEADER = ["ID", "target", "strand", "count", "score_prefix", "score_suffix",
           "log_p", "offset", "ticks", "mod"]
 
 
-def _has_header(path: str | None) -> bool:
-    if not path or not os.path.isfile(path):
-        return False
-    with open(path, "r") as fp:
-        return fp.readline().rstrip("\n").split("\t") == HEADER
-
-
 def processed_ids(path: str | None) -> set:
     """Read IDs already present in a count TSV (for resumable runs)."""
     if not path or not os.path.isfile(path):
@@ -34,7 +27,10 @@ class OutputWriter:
         self.output_file = output_file
         line = "\t".join(HEADER)
         if self.output_file:
-            if not (append and _has_header(output_file)):
+            exists = os.path.isfile(output_file) and os.path.getsize(output_file) > 0
+            if append and exists:
+                pass  # never truncate prior results in resume mode
+            else:
                 with open(self.output_file, "w") as fp:
                     print(line, file=fp)
         else:

@@ -23,13 +23,15 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        src = os.path.join(_NATIVE_DIR, "strique_native.cpp")
-        if os.path.exists(src):
-            try:
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True, timeout=120)
-            except Exception:
+    src = os.path.join(_NATIVE_DIR, "strique_native.cpp")
+    stale = (os.path.exists(src) and os.path.exists(_LIB_PATH)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if (not os.path.exists(_LIB_PATH) or stale) and os.path.exists(src):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            if not os.path.exists(_LIB_PATH):
                 return None
     if not os.path.exists(_LIB_PATH):
         return None

@@ -48,7 +48,7 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
 
         def submit(lines):
             try:
-                return detector.detect_batch_submit(lines)
+                return detector.detect_batch_submit(lines, io_threads)
             except KeyboardInterrupt:
                 raise
             except Exception:

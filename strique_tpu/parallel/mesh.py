@@ -48,19 +48,24 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
                      process_id: int | None = None) -> int:
     """Initialize multi-host JAX (idempotent); returns this process' index.
 
-    With no arguments, relies on the cluster environment (TPU pod
-    metadata / JAX_COORDINATOR_ADDRESS etc.).  After initialization,
-    ``make_mesh`` spans all hosts' devices and the ``data`` axis shards
-    reads across the pod; per-host TSV shards concatenate to the final
-    output exactly like the reference's unordered collector stream.
+    With no arguments, initializes from the cluster environment when one
+    is detectable (TPU pod metadata / JAX coordinator env vars).  After
+    initialization, ``make_mesh`` spans all hosts' devices and the
+    ``data`` axis shards reads across the pod; per-host TSV shards
+    concatenate to the final output exactly like the reference's
+    unordered collector stream.
     """
-    if jax.process_count() > 1 or coordinator is None and num_processes is None:
-        try:
-            return jax.process_index()
-        except Exception:
-            pass
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=num_processes, process_id=process_id)
+    import os
+
+    if jax.process_count() > 1:
+        return jax.process_index()  # already initialized
+    explicit = coordinator is not None or num_processes is not None
+    env_cluster = any(os.environ.get(k) for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if explicit or env_cluster:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes, process_id=process_id)
     return jax.process_index()
 
 
