@@ -32,6 +32,13 @@ SUFFIX = ("TAGCGCGCGACTCCTGAGTTCCAGAGCTTGCTACAGGCTGCGGTTGTTTCCCTCCTTGTTTTCTTCTGG
 
 
 def main():
+    import jax
+
+    # persistent kernel cache: first run pays ~2-4 min of Mosaic compiles,
+    # subsequent runs start hot
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/strique_tpu_cache"))
+
     from strique_tpu.detect.counter import RepeatCounter
     from strique_tpu.pore_model import PoreModel
 

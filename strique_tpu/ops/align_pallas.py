@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_ref,
-                  ptr_ref, bottom_ref, S_ref, Ih_ref, bt_ref, pb_ref):
+                  ptr_ref, bottom_ref, S_ref, Ih_ref, pb_ref):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -71,9 +71,10 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
     def shift1(x, fill):
         return jnp.concatenate([jnp.full((BATCH, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
-    def col_body(c_in, _):
-        S = S_ref[:, :]
-        Ih = Ih_ref[:, :]
+    def col_body(c_in, carry):
+        # DP state rides in fori_loop carry (registers) — VMEM scratch is
+        # only touched at grid-step boundaries
+        S, Ih, bt = carry
         # per-read signal value: masked lane select from the aligned tile
         sel = sel_iota == c_in
         aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
@@ -106,14 +107,15 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
         j = chunk * CHUNK + c_in + 1
         live = j <= nact
         bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
-        bt_ref[:, :] = jnp.where(sel, bval, bt_ref[:, :])
-        S_ref[:, :] = newS
-        Ih_ref[:, :] = newIh
-        return _
+        bt = jnp.where(sel, bval, bt)
+        return newS, newIh, bt
 
-    jax.lax.fori_loop(0, CHUNK, col_body, None)
+    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((BATCH, LANE), jnp.float32))
+    S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK, col_body, carry0)
+    S_ref[:, :] = S_fin
+    Ih_ref[:, :] = Ih_fin
     ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
-    bottom_ref[:, :] = bt_ref[:, :]
+    bottom_ref[:, :] = bt_fin
 
 
 @partial(jax.jit, static_argnames=("params", "m_actual"))
@@ -151,7 +153,6 @@ def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams
         scratch_shapes=[
             pltpu.VMEM((BATCH, mp), jnp.float32),
             pltpu.VMEM((BATCH, mp), jnp.float32),
-            pltpu.VMEM((BATCH, LANE), jnp.float32),
             pltpu.VMEM((CHUNK, BATCH, mp), jnp.float32),
         ],
         interpret=interpret,
