@@ -6,6 +6,7 @@ fetch raw signal, run the counter per matching target.
 """
 from __future__ import annotations
 
+import threading
 from collections import defaultdict
 
 from ..io.fast5 import Fast5Index
@@ -23,14 +24,19 @@ class RepeatDetector:
         self.repeat_loci = defaultdict(list)
         self.repeat_config = repeat_config
         self.is_init = False
+        self._init_lock = threading.Lock()
         self.f5 = Fast5Index(fast5_index_file)
 
     def _init_targets(self) -> None:
-        """Lazy HMM construction (reference :642-646)."""
-        for target_name, (chrom, begin, end, repeat, prefix, suffix) in self.repeat_config.items():
-            self.counter.add_target(target_name, repeat, prefix, suffix)
-            self.repeat_loci[chrom].append((target_name, begin, end))
-        self.is_init = True
+        """Lazy HMM construction (reference :642-646); thread-safe — the
+        per-read worker pool may race on the first reads."""
+        with self._init_lock:
+            if self.is_init:
+                return
+            for target_name, (chrom, begin, end, repeat, prefix, suffix) in self.repeat_config.items():
+                self.counter.add_target(target_name, repeat, prefix, suffix)
+                self.repeat_loci[chrom].append((target_name, begin, end))
+            self.is_init = True
 
     def _decode_and_fetch(self, sam_line: str):
         """SAM line -> (record, matching targets, raw signal) or None."""

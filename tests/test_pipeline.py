@@ -167,3 +167,78 @@ def test_count_cli_resume(synthetic_run, tmp_path):
     assert len(rows) == 4  # header + 3 reads, no duplicates
     ids = [r.split("\t")[0] for r in rows[1:]]
     assert sorted(ids) == sorted(counts)
+
+
+@pytest.fixture(scope="module")
+def dual_locus_run(tmp_path_factory):
+    """Two loci (c9orf72 + fmr1), reads on both strands."""
+    from strique_tpu.detect.counter import reverse_complement
+    from strique_tpu.io import fast5
+
+    rows = open("/root/reference/configs/repeat_config.tsv").read().strip().split("\n")
+    d = tmp_path_factory.mktemp("dual")
+    pm = PoreModel(MODEL)
+    rng = np.random.default_rng(1)
+    backbone = "".join(rng.choice(list("ACTG"), 800))
+    loci = {}
+    for row in rows[1:]:
+        c = row.split()
+        loci[c[3]] = (c[0], int(c[1]), int(c[2]), c[4], c[5], c[6])
+    expect = {}
+    sam_lines = ["@HD\tVN:1.6"]
+    for k, (name, n, strand) in enumerate([("c9orf72", 14, "+"), ("c9orf72", 18, "-"),
+                                           ("fmr1", 25, "+"), ("fmr1", 30, "-")]):
+        chrom, begin, end, repeat, prefix, suffix = loci[name]
+        seq = backbone[:400] + prefix + repeat * n + suffix + backbone[-400:]
+        if strand == "-":
+            seq = reverse_complement(seq)
+        rid = f"dual-{k}-{name}{strand}"
+        sig = pm.generate_signal(seq, samples=8)
+        make_single_f5(d / f"{rid}.fast5", rid, (sig * 10).astype(np.int16))
+        expect[rid] = (name, strand, n)
+        flag = 16 if strand == "-" else 0
+        sam_lines.append(f"{rid}\t{flag}\t{chrom}\t{begin - 20000}\t60\t41000M\t*\t0\t0\t*\t*")
+    fofn = d / "reads.fofn"
+    fofn.write_text("\n".join(fast5.index(str(d))) + "\n")
+    sam = d / "algn.sam"
+    sam.write_text("\n".join(sam_lines) + "\n")
+    return d, fofn, sam, expect
+
+
+def test_multi_locus_both_strands(dual_locus_run):
+    """Batched pipeline across two targets and both strands, with IO threads."""
+    d, fofn, sam, expect = dual_locus_run
+    from strique_tpu.cli import main
+
+    out = d / "counts.tsv"
+    rc = main(["count", str(fofn), MODEL,
+               "/root/reference/configs/repeat_config.tsv",
+               "--algn", str(sam), "--out", str(out), "--batch", "3", "--t", "4"])
+    assert rc == 0
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    got = {r[0]: (r[1], r[2], int(r[3])) for r in rows}
+    assert got == expect
+
+
+def test_per_read_threaded_path(dual_locus_run):
+    """io_threads > 1 with batch_size 1 exercises the threaded worker pool."""
+    d, fofn, sam, expect = dual_locus_run
+    from strique_tpu.detect.detector import RepeatDetector
+    from strique_tpu.parallel.dispatcher import run_pipeline
+    from strique_tpu.utils.config import parse_config
+
+    class SinkWriter:
+        def __init__(self):
+            self.rows = []
+
+        def write_line(self, target_counts=()):
+            self.rows.extend(target_counts)
+
+    config = parse_config("/root/reference/configs/repeat_config.tsv")
+    rd = RepeatDetector(config["repeat"], MODEL, str(fofn))
+    lines = [l for l in open(sam) if not l.startswith("@")]
+    w = SinkWriter()
+    n = run_pipeline(iter(lines), rd, w, io_threads=3, batch_size=1)
+    assert n == 4
+    got = {r[0]: (r[1], r[2], r[3]) for r in w.rows}
+    assert got == {rid: (t, s, n) for rid, (t, s, n) in expect.items()}
