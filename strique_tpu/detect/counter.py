@@ -249,20 +249,15 @@ class RepeatCounter:
             bounds.append((ok, score_prefix, score_suffix, prefix_begin, prefix_end,
                            suffix_begin, suffix_end))
 
-        # batched Viterbi: dispatch all decodes, one packed D2H for the paths
+        # batched Viterbi: one vmapped dispatch, one packed D2H for the paths
         live = [i for i in range(B) if bounds[i][0]]
         paths = {}
         seg_lens = {}
         if live:
-            segs = {i: flts[i][bounds[i][3]:bounds[i][6]].astype(np.float32) for i in live}
-            tmax = max(len(s) for s in segs.values())
-            dev_paths = []
-            for i in live:
-                seg_lens[i] = len(segs[i])
-                _, path = self._viterbi_dev(tc.repeat_hmm, segs[i], tmax)
-                dev_paths.append(path)
-            all_paths = np.asarray(jnp.stack(dev_paths))  # one D2H
+            segs = [flts[i][bounds[i][3]:bounds[i][6]].astype(np.float32) for i in live]
+            all_paths = self._viterbi_batch(tc.repeat_hmm, segs)
             for k, i in enumerate(live):
+                seg_lens[i] = len(segs[k])
                 paths[i] = all_paths[k]
 
         results = []
@@ -289,27 +284,33 @@ class RepeatCounter:
             results.append([n, score_prefix, score_suffix, p, prefix_end,
                             max(suffix_begin - prefix_end, 0), mod])
         if mod_jobs:
-            tmax = max(len(s) for _, s in mod_jobs)
-            dev_mpaths = [self._viterbi_dev(tc.mod_hmm, s, tmax)[1] for _, s in mod_jobs]
-            all_mpaths = np.asarray(jnp.stack(dev_mpaths))
+            mpaths = self._viterbi_batch(tc.mod_hmm, [s for _, s in mod_jobs])
             for k, (ri, s) in enumerate(mod_jobs):
-                results[ri][6] = viterbi_ops.mod_pattern(all_mpaths[k], len(s), tc.mod_hmm)
+                results[ri][6] = viterbi_ops.mod_pattern(mpaths[k], len(s), tc.mod_hmm)
         return [tuple(r) for r in results]
 
-    def _viterbi_dev(self, chm, segment: np.ndarray, tmax: int):
-        """Viterbi decode returning device arrays (no host sync)."""
+    def _viterbi_batch(self, chm, segments) -> np.ndarray:
+        """Decode a list of segments in one vmapped device dispatch.
+
+        Returns the (B, Tpad) int path matrix on host (one D2H).
+        """
         import jax.numpy as jnp
 
-        t = len(segment)
+        lens = np.array([len(s) for s in segments], dtype=np.int32)
         if self._use_pallas():
-            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas
+            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas_batch
 
-            tpad = max(((tmax + CHUNK_T - 1) // CHUNK_T) * CHUNK_T, CHUNK_T)
-            obs = np.zeros(tpad, dtype=np.float32)
-            obs[:t] = segment
-            return viterbi_pallas(jnp.asarray(obs), jnp.int32(t), self._padded_hmm(chm))
-        tpad = pad_bucket(tmax)
-        obs = np.zeros(tpad, dtype=np.float32)
-        obs[:t] = segment
+            tpad = max((int(lens.max()) + CHUNK_T - 1) // CHUNK_T * CHUNK_T, CHUNK_T)
+            obs = np.zeros((len(segments), tpad), dtype=np.float32)
+            for k, s in enumerate(segments):
+                obs[k, : len(s)] = s
+            _, paths = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens),
+                                            self._padded_hmm(chm))
+            return np.asarray(paths)
+        tpad = pad_bucket(int(lens.max()))
+        obs = np.zeros((len(segments), tpad), dtype=np.float32)
+        for k, s in enumerate(segments):
+            obs[k, : len(s)] = s
         dev = self._device_hmm(chm)
-        return viterbi_ops.viterbi_scan(jnp.asarray(obs), jnp.int32(t), *dev)
+        _, paths = viterbi_ops.viterbi_scan_batch(jnp.asarray(obs), jnp.asarray(lens), *dev)
+        return np.asarray(paths)

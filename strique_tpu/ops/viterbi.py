@@ -85,6 +85,14 @@ def viterbi_scan(obs, t_actual, log_start, log_trans, log_end, mu, sigma, is_uni
     return logp, path
 
 
+@partial(jax.jit, static_argnames=())
+def viterbi_scan_batch(obs, t_actual, log_start, log_trans, log_end, mu, sigma,
+                       is_uniform, log_uni):
+    """Vmapped viterbi_scan over a (B, T) batch in one dispatch."""
+    return jax.vmap(lambda o, t: viterbi_scan(
+        o, t, log_start, log_trans, log_end, mu, sigma, is_uniform, log_uni))(obs, t_actual)
+
+
 def path_logp_f64(obs: np.ndarray, path: np.ndarray, chm) -> float:
     """Recompute the log-probability of a decoded path in float64 on host.
 

@@ -228,3 +228,23 @@ def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
     logp = final[0, last] + acc[0, 0]
     path = viterbi_backward_pallas(bp, last)
     return logp, path
+
+
+@jax.jit
+def _viterbi_batch_jit(obs, t_actual, trans, start, mu, sigma, uni, luni, end):
+    def one(o, t):
+        bp, final_row, acc = viterbi_forward_pallas(o, t, trans, start, mu, sigma, uni, luni)
+        final = final_row + end
+        last = jnp.argmax(final[0]).astype(jnp.int32)
+        logp = final[0, last] + acc[0, 0]
+        path = viterbi_backward_pallas(bp, last)
+        return logp, path
+
+    return jax.vmap(one)(obs, t_actual)
+
+
+def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
+    """Decode a whole (B, T) batch in one dispatch (vmapped kernels)."""
+    return _viterbi_batch_jit(obs_batch.astype(jnp.float32),
+                              t_actual_batch.astype(jnp.int32),
+                              ph.trans, ph.start, ph.mu, ph.sigma, ph.uni, ph.luni, ph.end)
