@@ -91,3 +91,42 @@ def test_prep_matches_host():
                                pm.normalize2model(morph, mode="minmax"), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out["flt_n"])[:n],
                                pm.normalize2model(flt, mode="minmax"), atol=1e-4)
+
+
+def test_viterbi_pallas_real_hmm():
+    """Kernel parity on the real c9orf72 flanked HMM (uniform states,
+    -inf structure, silent-eliminated long-range edges)."""
+    import jax.numpy as jnp
+
+    from strique_tpu.hmm.models import build_flanked_repeat
+    from strique_tpu.ops.viterbi import viterbi_scan
+    from strique_tpu.ops.viterbi_pallas import PaddedHMM, viterbi_pallas_batch
+    from strique_tpu.pore_model import PoreModel
+
+    pm = PoreModel("/root/reference/models/r9_4_450bps.model")
+    row = open("/root/reference/configs/repeat_config.tsv").read().strip().split("\n")[1].split()
+    repeat, prefix, suffix = row[4], row[5][-50:], row[6][:50]
+    chm = build_flanked_repeat(repeat, prefix, suffix, pm)
+    ph = PaddedHMM(chm)
+    seq = prefix + repeat * 8 + suffix
+    sig = pm.generate_signal(seq, samples=6).astype(np.float32)
+    T = len(sig)
+    tpad = 1024
+    obs = np.zeros((2, tpad), np.float32)
+    obs[0, :T] = sig
+    obs[1, : T - 40] = sig[:-40]
+    lens = np.array([T, T - 40], np.int32)
+    dev = (jnp.asarray(chm.log_start, jnp.float32), jnp.asarray(chm.log_trans, jnp.float32),
+           jnp.asarray(chm.log_end, jnp.float32), jnp.asarray(chm.mu, jnp.float32),
+           jnp.asarray(chm.sigma, jnp.float32), jnp.asarray(chm.is_uniform),
+           jnp.asarray(chm.log_uni, jnp.float32))
+    logps, paths = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens), ph)
+    for k in range(2):
+        lp_ref, p_ref = viterbi_scan(jnp.asarray(obs[k]), jnp.int32(lens[k]), *dev)
+        assert np.isclose(float(logps[k]), float(lp_ref), rtol=1e-4)
+        np.testing.assert_array_equal(np.asarray(paths[k])[: lens[k]],
+                                      np.asarray(p_ref)[: lens[k]])
+    # count decode must be exact through the pallas path
+    from strique_tpu.ops.viterbi import count_repeats
+
+    assert count_repeats(np.asarray(paths[0]), int(lens[0]), chm) == 8

@@ -242,3 +242,29 @@ def test_per_read_threaded_path(dual_locus_run):
     assert n == 4
     got = {r[0]: (r[1], r[2], r[3]) for r in w.rows}
     assert got == {rid: (t, s, n) for rid, (t, s, n) in expect.items()}
+
+
+def test_count_cli_missing_files(tmp_path):
+    from strique_tpu.cli import main
+
+    assert main(["count", str(tmp_path / "nope.fofn"), MODEL,
+                 "/root/reference/configs/repeat_config.tsv"]) == 1
+    # bad model path
+    fofn = tmp_path / "empty.fofn"
+    fofn.write_text("")
+    assert main(["count", str(fofn), str(tmp_path / "no.model"),
+                 "/root/reference/configs/repeat_config.tsv"]) == 1
+
+
+def test_index_recursive_and_prefix(tmp_path):
+    from strique_tpu.io import fast5
+
+    sub = tmp_path / "a" / "b"
+    os.makedirs(sub)
+    make_single_f5(sub / "r.fast5", "rec-read-1", np.arange(32, dtype=np.int16))
+    flat = list(fast5.index(str(tmp_path)))
+    assert flat == []  # non-recursive does not descend
+    rec = list(fast5.index(str(tmp_path), recursive=True))
+    assert rec == [f"a/b/r.fast5\trec-read-1"]
+    pref = list(fast5.index(str(tmp_path), recursive=True, output_prefix="runX"))
+    assert pref == [f"runX/a/b/r.fast5\trec-read-1"]
