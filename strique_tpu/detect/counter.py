@@ -62,7 +62,10 @@ class TargetClassifier:
 
 class RepeatCounter:
     def __init__(self, model_file: str, mod_model_file: str | None = None,
-                 align_config: dict | None = None, hmm_config: dict | None = None):
+                 align_config: dict | None = None, hmm_config: dict | None = None,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'data' axis — read
+        batches shard across its devices (multi-chip data parallelism)."""
         cfg = dict(DEFAULT_ALIGN_CONFIG)
         if align_config:
             cfg.update(align_config)
@@ -77,6 +80,7 @@ class RepeatCounter:
         self.has_mod = mod_model_file is not None
         self.hmm_config = hmm_config
         self.targets: dict[str, tuple[TargetClassifier, TargetClassifier]] = {}
+        self.mesh = mesh
         self._dev_cache: dict[int, tuple] = {}
 
     # -- model construction ------------------------------------------------
@@ -197,8 +201,10 @@ class RepeatCounter:
             morph_pad[i, : len(m)] = m
         import jax.numpy as jnp
 
-        pre = align_ops.align_batch(morph_pad, n_sigs, tc.prefix_ext, self.align_params)
-        suf = align_ops.align_batch(morph_pad, n_sigs, tc.suffix_ext, self.align_params)
+        pre = align_ops.align_batch(morph_pad, n_sigs, tc.prefix_ext, self.align_params,
+                                    mesh=self.mesh)
+        suf = align_ops.align_batch(morph_pad, n_sigs, tc.suffix_ext, self.align_params,
+                                    mesh=self.mesh)
         # one packed D2H per batch: the tunnel's transfer latency is flat,
         # so per-array conversions would dominate the whole pipeline
         packed_dev = jnp.concatenate([

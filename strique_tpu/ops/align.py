@@ -163,13 +163,29 @@ def _align_batch_pallas(signals, n_actual, template_padded,
     return {"score": score, "j_end": j_end, **tb}
 
 
-def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "auto"):
+def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "auto",
+                mesh=None):
     """Batched alignment front-end.
 
     signals: (B, N); uses the Pallas kernel on TPU (B padded to 8, N to a
-    multiple of its chunk), the lax.scan kernel elsewhere.
+    multiple of its chunk), the lax.scan kernel elsewhere.  With ``mesh``,
+    the batch is sharded over the mesh's ``data`` axis (B padded to a
+    multiple of the axis size; model tensors replicated).
     Returns dict of per-read arrays (score, j_end, is_gap, jpos, j_begin).
     """
+    if mesh is not None:
+        from ..parallel.mesh import batched_align
+
+        signals = jnp.asarray(signals, jnp.float32)
+        n_actual = jnp.asarray(n_actual, jnp.int32)
+        B = signals.shape[0]
+        dp = mesh.shape["data"]
+        bpad = (-B) % dp
+        if bpad:
+            signals = jnp.pad(signals, ((0, bpad), (0, 0)))
+            n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
+        out = batched_align(mesh, signals, n_actual, jnp.asarray(template, jnp.float32), params)
+        return {k: v[:B] for k, v in out.items()}
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     signals = jnp.asarray(signals, jnp.float32)

@@ -57,3 +57,34 @@ def test_sharded_viterbi_matches_single():
         assert np.isclose(float(logp[i]), float(lp_ref), rtol=1e-5), f"read {i}"
         np.testing.assert_array_equal(
             np.asarray(path[i])[: t_actual[i]], np.asarray(p_ref)[: t_actual[i]], err_msg=f"read {i}")
+
+
+def test_counter_with_mesh_matches_single_device():
+    """detect_many over a data-sharded mesh reproduces single-device results."""
+    import numpy as np
+
+    from strique_tpu.detect.counter import RepeatCounter
+    from strique_tpu.pore_model import PoreModel
+
+    MODEL = "/root/reference/models/r9_4_450bps.model"
+    row = open("/root/reference/configs/repeat_config.tsv").read().strip().split("\n")[1].split()
+    repeat, prefix, suffix = row[4], row[5], row[6]
+    pm = PoreModel(MODEL)
+    rng = np.random.default_rng(3)
+    backbone = "".join(rng.choice(list("ACTG"), 800))
+    sigs = []
+    expected = []
+    for i in (11, 17, 23, 29):
+        seq = backbone[:400] + prefix + repeat * i + suffix + backbone[-400:]
+        sigs.append(pm.generate_signal(seq, samples=8))
+        expected.append(i)
+    single = RepeatCounter(MODEL)
+    single.add_target("c9", repeat, prefix, suffix)
+    res_single = single.detect_many("c9", sigs, "+")
+    meshed = RepeatCounter(MODEL, mesh=make_mesh({"data": 4}, jax.devices()[:4]))
+    meshed.add_target("c9", repeat, prefix, suffix)
+    res_mesh = meshed.detect_many("c9", sigs, "+")
+    for e, rs, rm in zip(expected, res_single, res_mesh):
+        assert rs[0] == e and rm[0] == e
+        assert rs[4:6] == rm[4:6]  # offset/ticks identical
+        assert abs(rs[1] - rm[1]) < 1e-3 and abs(rs[2] - rm[2]) < 1e-3
