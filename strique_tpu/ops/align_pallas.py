@@ -110,14 +110,15 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
         bt = jnp.where(sel, bval, bt)
         return newS, newIh, bt
 
-    def col_body4(q, carry):
-        # 4x unroll: larger scheduling window for the Mosaic backend
-        for u in range(4):
-            carry = col_body(q * 4 + u, carry)
+    def col_body8(q, carry):
+        # 8x unroll: best measured scheduling window for the Mosaic backend
+        # (4x: 61.7 reads/s, 8x: 66.8, 16x: 63.8 end-to-end)
+        for u in range(8):
+            carry = col_body(q * 8 + u, carry)
         return carry
 
     carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((BATCH, LANE), jnp.float32))
-    S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 4, col_body4, carry0)
+    S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
     S_ref[:, :] = S_fin
     Ih_ref[:, :] = Ih_fin
     ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
