@@ -54,7 +54,7 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
     lane_ii = jax.lax.broadcasted_iota(jnp.int32, (BATCH, mp), 1)
     lane_i = lane_ii.astype(jnp.float32)
     row0 = lane_ii == 0
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (BATCH, LANE), 1)
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (BATCH, CHUNK), 1)
 
     chunk = pl.program_id(0)
 
@@ -117,7 +117,7 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
             carry = col_body(q * 8 + u, carry)
         return carry
 
-    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((BATCH, LANE), jnp.float32))
+    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((BATCH, CHUNK), jnp.float32))
     S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
     S_ref[:, :] = S_fin
     Ih_ref[:, :] = Ih_fin
