@@ -192,19 +192,20 @@ def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "a
     n_actual = jnp.asarray(n_actual, jnp.int32)
     template = jnp.asarray(template, jnp.float32)
     if impl == "pallas":
-        from .align_pallas import BATCH, CHUNK, pad_template
+        from .align_pallas import CHUNK, kernel_batch, pad_template
 
+        kb = kernel_batch()
         B, N = signals.shape
-        bpad = (-B) % BATCH
+        bpad = (-B) % kb
         npad = (-N) % CHUNK
         if bpad or npad:
             signals = jnp.pad(signals, ((0, bpad), (0, npad)))
             n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
         tmpl_padded, m = pad_template(np.asarray(template))
         outs = []
-        for b0 in range(0, signals.shape[0], BATCH):
+        for b0 in range(0, signals.shape[0], kb):
             outs.append(_align_batch_pallas(
-                signals[b0:b0 + BATCH], n_actual[b0:b0 + BATCH],
+                signals[b0:b0 + kb], n_actual[b0:b0 + kb],
                 jnp.asarray(tmpl_padded), params, m))
         out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
         return out

@@ -31,17 +31,27 @@ from jax.experimental.pallas import tpu as pltpu
 from .reference import AlignParams
 
 NEG = -1e30  # python float: pallas kernels must not capture array constants
-BATCH = 8
+BATCH = 8       # interpret-mode (CPU test) batch; TPU uses BATCH_TPU
+BATCH_TPU = 32  # int8 sublane tile: enables direct pointer stores (no f32
+                # scratch) and 4x the vector work per serial DP step
 CHUNK = 128
 LANE = 128
+
+
+def kernel_batch() -> int:
+    """Per-call read batch for the current backend."""
+    import jax
+
+    return BATCH_TPU if jax.default_backend() == "tpu" else BATCH
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_ref,
-                  ptr_ref, bottom_ref, S_ref, Ih_ref, pb_ref):
+def _align_kernel(params: AlignParams, m_actual: int, direct_i8: bool,
+                  sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
+                  S_ref, Ih_ref, pb_ref):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -50,11 +60,11 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
     dmin = np.float32(params.dist_min)
     g = np.float32(max(params.gap_extension_v, params.gap_open_v))
 
-    mp = S_ref.shape[1]  # padded row count (m_actual + 1 <= mp)
-    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (BATCH, mp), 1)
+    batch, mp = S_ref.shape  # padded row count (m_actual + 1 <= mp)
+    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (batch, mp), 1)
     lane_i = lane_ii.astype(jnp.float32)
     row0 = lane_ii == 0
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (BATCH, CHUNK), 1)
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (batch, CHUNK), 1)
 
     chunk = pl.program_id(0)
 
@@ -62,14 +72,14 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
     def _init():
         S0 = go_v + ge_v * (lane_i - 1.0)
         S_ref[:, :] = jnp.where(row0, 0.0, S0)
-        Ih_ref[:, :] = jnp.full((BATCH, mp), NEG)
+        Ih_ref[:, :] = jnp.full((batch, mp), NEG)
 
     tmpl = tmpl_ref[:, :]  # (1, mp) — value at lane i is template[i-1]; lane 0 pad
     nact = nact_ref[:, :]  # (BATCH, 1)
     sig_tile = sig_ref[:, :]  # (BATCH, CHUNK)
 
     def shift1(x, fill):
-        return jnp.concatenate([jnp.full((BATCH, 1), fill, x.dtype), x[:, :-1]], axis=1)
+        return jnp.concatenate([jnp.full((batch, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
     def col_body(c_in, carry):
         # DP state rides in fori_loop carry (registers) — VMEM scratch is
@@ -89,7 +99,7 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
         k = 1
         while k < mp:  # prefix max along lanes (log-step doubling)
             cvec = jnp.maximum(cvec, jnp.concatenate(
-                [jnp.full((BATCH, k), NEG, jnp.float32), cvec[:, :-k]], axis=1))
+                [jnp.full((batch, k), NEG, jnp.float32), cvec[:, :-k]], axis=1))
             k *= 2
         newIv = jnp.where(row0, NEG, shift1(cvec, NEG) + lane_i * g)
         newS = jnp.maximum(jnp.maximum(newM, newIh), newIv)
@@ -98,11 +108,20 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
         which = jnp.where(newM >= newS, 0, jnp.where(newIv >= newS, 2, 1))
         ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
         ivx = (shift1(newIv, NEG) + ge_v >= shift1(newS, 0.0) + go_v).astype(jnp.int32) << 3
-        pb = (which | ihx | ivx).astype(jnp.float32)
-        # store at lane i-1 for row i (matches ops.align layout); scratch is
-        # (CHUNK, BATCH, mp) so each column writes one tile-aligned plane
-        pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
-        pb_ref[c_in, :, :] = pb_shifted
+        pbi = which | ihx | ivx
+        # store at lane i-1 for row i (matches ops.align layout)
+        if direct_i8:
+            # batch is a multiple of the int8 sublane tile (32): store the
+            # column plane straight to the output block, no f32 scratch
+            pb = pbi.astype(jnp.int8)
+            pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
+            ptr_ref[c_in, :, :] = pb_shifted
+        else:
+            # scratch is (CHUNK, batch, mp) f32 so each column writes one
+            # tile-aligned plane (Mosaic forbids sub-tile narrow-int stores)
+            pb = pbi.astype(jnp.float32)
+            pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
+            pb_ref[c_in, :, :] = pb_shifted
         # bottom-row score, accumulated into an aligned 128-lane tile
         j = chunk * CHUNK + c_in + 1
         live = j <= nact
@@ -117,51 +136,58 @@ def _align_kernel(params: AlignParams, m_actual: int, sig_ref, tmpl_ref, nact_re
             carry = col_body(q * 8 + u, carry)
         return carry
 
-    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((BATCH, CHUNK), jnp.float32))
+    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
     S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
     S_ref[:, :] = S_fin
     Ih_ref[:, :] = Ih_fin
-    ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
+    if not direct_i8:
+        ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
     bottom_ref[:, :] = bt_fin
 
 
 @partial(jax.jit, static_argnames=("params", "m_actual"))
 def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams,
                          m_actual: int):
-    """Forward DP for a batch of BATCH reads.
+    """Forward DP for a batch of B reads (B = BATCH or a multiple of 32).
 
-    signals: (BATCH, N) float32, N a multiple of CHUNK.
+    signals: (B, N) float32, N a multiple of CHUNK.
     template_padded: (1, MP) float32, lane i = template[i-1], MP multiple
     of 128; pad lanes hold +1e30 so they never win.
-    Returns (ptr (N, BATCH, MP) int8 — column-major across reads for
-    tile-aligned kernel stores — and bottom (BATCH, N) f32).
+    Returns (ptr (N, B, MP) int8 — column-major across reads for
+    tile-aligned kernel stores — and bottom (B, N) f32).
+
+    When B is a multiple of 32 (the int8 sublane tile) pointer planes are
+    stored straight to the output block, skipping the f32 staging scratch
+    — this is what makes B=32 fit in VMEM and is also the fast path.
     """
     B, N = signals.shape
-    assert B == BATCH and N % CHUNK == 0
+    assert (B == BATCH or B % 32 == 0) and N % CHUNK == 0
+    direct_i8 = B % 32 == 0
     mp = template_padded.shape[1]
     grid = (N // CHUNK,)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    scratch = [
+        pltpu.VMEM((B, mp), jnp.float32),
+        pltpu.VMEM((B, mp), jnp.float32),
+        pltpu.VMEM((CHUNK if not direct_i8 else 1, B, mp), jnp.float32),
+    ]
     ptr, bottom = pl.pallas_call(
-        partial(_align_kernel, params, m_actual),
+        partial(_align_kernel, params, m_actual, direct_i8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BATCH, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BATCH, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, BATCH, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BATCH, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, B, mp), jnp.int8),
             jax.ShapeDtypeStruct((B, N), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((BATCH, mp), jnp.float32),
-            pltpu.VMEM((BATCH, mp), jnp.float32),
-            pltpu.VMEM((CHUNK, BATCH, mp), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(signals, template_padded, n_actual[:, None].astype(jnp.int32))
     return ptr, bottom
