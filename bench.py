@@ -42,9 +42,9 @@ def main():
     from strique_tpu.detect.counter import RepeatCounter
     from strique_tpu.pore_model import PoreModel
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     n_warm = batch  # warm with one full-size batch so all shapes compile
-    n_reads = int(os.environ.get("BENCH_READS", "64"))
+    n_reads = int(os.environ.get("BENCH_READS", "128"))
     repeats = 100
 
     pm = PoreModel(MODEL_FILE)
