@@ -33,6 +33,53 @@ DEFAULT_ALIGN_CONFIG = {
 _COMPLEMENT = str.maketrans("ACGT", "TGCA")
 
 
+def _bounds_jit(pre, suf, n_sigs, trim_prefix, trim_suffix):
+    import jax
+
+    from ..ops.bounds import segment_bounds
+
+    return jax.jit(segment_bounds, static_argnames=("trim_prefix", "trim_suffix"))(
+        {k: pre[k] for k in ("score", "is_gap", "jpos")},
+        {k: suf[k] for k in ("score", "is_gap", "jpos")},
+        n_sigs, trim_prefix=trim_prefix, trim_suffix=trim_suffix)
+
+
+def _roll_jit_impl(flt, starts):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.vmap(lambda x, s: jnp.roll(x, -s))(flt, starts)
+
+
+def _pack_jit_impl(b, paths):
+    import jax
+    import jax.numpy as jnp
+
+    meta = jnp.stack([
+        b["score_p"], b["span_p"].astype(jnp.float32),
+        b["score_s"], b["span_s"].astype(jnp.float32),
+        b["prefix_begin"].astype(jnp.float32), b["prefix_end"].astype(jnp.float32),
+        b["suffix_begin"].astype(jnp.float32), b["suffix_end"].astype(jnp.float32),
+        b["ok"].astype(jnp.float32), b["seg_len"].astype(jnp.float32),
+    ], axis=1)
+    # single byte buffer keeps the packed D2H small: the tunnel costs
+    # ~17 ms/MB on top of its flat latency, and paths dominate the bytes
+    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(meta.shape[0], -1)
+    return jnp.concatenate([meta_u8, paths.astype(jnp.uint8)], axis=1)
+
+
+def _roll_jit(flt, starts):
+    import jax
+
+    return jax.jit(_roll_jit_impl)(flt, starts)
+
+
+def _pack_jit(b, paths):
+    import jax
+
+    return jax.jit(_pack_jit_impl)(b, paths)
+
+
 def reverse_complement(sequence: str) -> str:
     return sequence.upper().translate(_COMPLEMENT)[::-1]
 
@@ -81,6 +128,10 @@ class RepeatCounter:
         self.hmm_config = hmm_config
         self.targets: dict[str, tuple[TargetClassifier, TargetClassifier]] = {}
         self.mesh = mesh
+        # fused: bounds + segment gather + Viterbi run device-side in the
+        # align dispatch (one packed D2H per batch); the mesh-sharded path
+        # keeps the two-phase host bounds step
+        self.fused = mesh is None
         self._dev_cache: dict[int, tuple] = {}
 
     # -- model construction ------------------------------------------------
@@ -194,8 +245,10 @@ class RepeatCounter:
 
         npad = pad_bucket(int(n_sigs.max()))
         from ..ops.align_pallas import CHUNK as ALIGN_CHUNK
+        from ..ops.viterbi_pallas import CHUNK_T
 
         npad = (npad + ALIGN_CHUNK - 1) // ALIGN_CHUNK * ALIGN_CHUNK
+        npad = (npad + CHUNK_T - 1) // CHUNK_T * CHUNK_T
         morph_pad = np.zeros((B, npad), dtype=np.float32)
         for i, m in enumerate(morphs):
             morph_pad[i, : len(m)] = m
@@ -205,21 +258,62 @@ class RepeatCounter:
                                     mesh=self.mesh)
         suf = align_ops.align_batch(morph_pad, n_sigs, tc.suffix_ext, self.align_params,
                                     mesh=self.mesh)
-        # one packed D2H per batch: the tunnel's transfer latency is flat,
-        # so per-array conversions would dominate the whole pipeline
-        packed_dev = jnp.concatenate([
-            pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
-            suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
-        ], axis=1)
+        # uint8 path packing needs state ids < 256 (always true for real
+        # repeat HMMs; enormous ones fall back to the two-phase path)
+        fusible = tc.repeat_hmm.n_states <= 256
+        if self.fused and self.mesh is None and fusible:
+            # fused tail: bounds, repeat-segment gather, and Viterbi all run
+            # device-side off the alignment outputs, so the whole batch
+            # costs a single packed D2H (the tunnel's transfer latency is
+            # flat and dominates per-batch cost)
+            flt_pad = np.zeros((B, npad), dtype=np.float32)
+            for i, f in enumerate(flts):
+                flt_pad[i, : len(f)] = f
+            packed_dev = self._fused_tail(tc, pre, suf, jnp.asarray(flt_pad),
+                                          jnp.asarray(n_sigs))
+            state = {"fused": packed_dev}
+        else:
+            # mesh-sharded path keeps the two-phase host bounds step
+            packed_dev = jnp.concatenate([
+                pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
+                suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
+            ], axis=1)
+            state = {"packed": packed_dev}
         try:
             packed_dev.copy_to_host_async()
         except Exception:
             pass
-        return {"tc": tc, "packed": packed_dev, "raws": raws, "flts": flts,
-                "n_sigs": n_sigs, "B": B}
+        state.update({"tc": tc, "raws": raws, "flts": flts, "n_sigs": n_sigs, "B": B})
+        return state
+
+    def _fused_tail(self, tc: TargetClassifier, pre, suf, flt_dev, n_sigs_dev):
+        """Device-side bounds → segment roll → Viterbi → one packed array.
+
+        Packed layout per read: [score_p, span_p, score_s, span_s,
+        prefix_begin, prefix_end, suffix_begin, suffix_end, ok, seg_len,
+        path[0:npad]] — all float32 (state ids < 2^24 are exact).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.bounds import segment_bounds
+
+        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
+        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
+        b = _bounds_jit(pre, suf, n_sigs_dev, trim_prefix, trim_suffix)
+        rolled = _roll_jit(flt_dev, b["prefix_begin"])
+        if self._use_pallas():
+            from ..ops.viterbi_pallas import viterbi_pallas_batch
+
+            _, paths = viterbi_pallas_batch(rolled, b["seg_len"],
+                                            self._padded_hmm(tc.repeat_hmm))
+        else:
+            dev = self._device_hmm(tc.repeat_hmm)
+            _, paths = viterbi_ops.viterbi_scan_batch(rolled, b["seg_len"], *dev)
+        return _pack_jit(b, paths)
 
     def detect_finish(self, state: dict):
-        """Phase 2: collect alignment results, decode, run Viterbi."""
+        """Phase 2: collect the packed batch results and decode on host."""
         import jax.numpy as jnp
 
         tc = state["tc"]
@@ -229,42 +323,60 @@ class RepeatCounter:
         B = state["B"]
         trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
         trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
-        mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
-        packed = np.asarray(state["packed"])
-        o = 0
-        pre_score = packed[:, o]; o += 1
-        pre_jpos = packed[:, o : o + mp_].astype(np.int64); o += mp_
-        pre_gap = packed[:, o : o + mp_] != 0.0; o += mp_
-        suf_score = packed[:, o]; o += 1
-        suf_jpos = packed[:, o : o + ms_].astype(np.int64); o += ms_
-        suf_gap = packed[:, o : o + ms_] != 0.0
 
-        # bounds + gate per read (host)
         bounds = []
-        for i in range(B):
-            n_sig = int(n_sigs[i])
-            pos_p = align_ops._nearest_positions(pre_gap[i], pre_jpos[i], n_sig)
-            pos_s = align_ops._nearest_positions(suf_gap[i], suf_jpos[i], n_sig)
-            span = int(pos_p[-1]) - int(pos_p[0])
-            score_prefix = float(pre_score[i]) / span if span > 0 else 0.0
-            span = int(pos_s[-1]) - int(pos_s[0])
-            score_suffix = float(suf_score[i]) / span if span > 0 else 0.0
-            prefix_begin, prefix_end = int(pos_p[trim_prefix]), int(pos_p[-1])
-            suffix_begin, suffix_end = int(pos_s[0]), int(pos_s[len(pos_s) - 1 - trim_suffix])
-            ok = prefix_begin < suffix_end and score_prefix > 0.0 and score_suffix > 0.0
-            bounds.append((ok, score_prefix, score_suffix, prefix_begin, prefix_end,
-                           suffix_begin, suffix_end))
-
-        # batched Viterbi: one vmapped dispatch, one packed D2H for the paths
-        live = [i for i in range(B) if bounds[i][0]]
         paths = {}
         seg_lens = {}
-        if live:
-            segs = [flts[i][bounds[i][3]:bounds[i][6]].astype(np.float32) for i in live]
-            all_paths = self._viterbi_batch(tc.repeat_hmm, segs)
-            for k, i in enumerate(live):
-                seg_lens[i] = len(segs[k])
-                paths[i] = all_paths[k]
+        if "fused" in state:
+            packed = np.asarray(state["fused"])
+            meta = packed[:, :40].copy().view(np.float32)
+            path_mat = packed[:, 40:]
+            for i in range(B):
+                (score_p, span_p, score_s, span_s,
+                 pb, pe, sb, se, okf, seg_len) = meta[i]
+                span_p, span_s = int(span_p), int(span_s)
+                score_prefix = float(score_p) / span_p if span_p > 0 else 0.0
+                score_suffix = float(score_s) / span_s if span_s > 0 else 0.0
+                ok = bool(okf)
+                bounds.append((ok, score_prefix, score_suffix, int(pb), int(pe),
+                               int(sb), int(se)))
+                if ok:
+                    seg_lens[i] = int(seg_len)
+                    paths[i] = path_mat[i].astype(np.int32)
+        else:
+            mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
+            packed = np.asarray(state["packed"])
+            o = 0
+            pre_score = packed[:, o]; o += 1
+            pre_jpos = packed[:, o : o + mp_].astype(np.int64); o += mp_
+            pre_gap = packed[:, o : o + mp_] != 0.0; o += mp_
+            suf_score = packed[:, o]; o += 1
+            suf_jpos = packed[:, o : o + ms_].astype(np.int64); o += ms_
+            suf_gap = packed[:, o : o + ms_] != 0.0
+
+            # bounds + gate per read (host)
+            for i in range(B):
+                n_sig = int(n_sigs[i])
+                pos_p = align_ops._nearest_positions(pre_gap[i], pre_jpos[i], n_sig)
+                pos_s = align_ops._nearest_positions(suf_gap[i], suf_jpos[i], n_sig)
+                span = int(pos_p[-1]) - int(pos_p[0])
+                score_prefix = float(pre_score[i]) / span if span > 0 else 0.0
+                span = int(pos_s[-1]) - int(pos_s[0])
+                score_suffix = float(suf_score[i]) / span if span > 0 else 0.0
+                prefix_begin, prefix_end = int(pos_p[trim_prefix]), int(pos_p[-1])
+                suffix_begin, suffix_end = int(pos_s[0]), int(pos_s[len(pos_s) - 1 - trim_suffix])
+                ok = prefix_begin < suffix_end and score_prefix > 0.0 and score_suffix > 0.0
+                bounds.append((ok, score_prefix, score_suffix, prefix_begin, prefix_end,
+                               suffix_begin, suffix_end))
+
+            # batched Viterbi: one vmapped dispatch, one packed D2H for the paths
+            live = [i for i in range(B) if bounds[i][0]]
+            if live:
+                segs = [flts[i][bounds[i][3]:bounds[i][6]].astype(np.float32) for i in live]
+                all_paths = self._viterbi_batch(tc.repeat_hmm, segs)
+                for k, i in enumerate(live):
+                    seg_lens[i] = len(segs[k])
+                    paths[i] = all_paths[k]
 
         results = []
         mod_jobs = []

@@ -90,7 +90,127 @@ def _fwd_kernel(obs_ref, tact_ref, trans_ref, start_ref, mu_ref, sig_ref,
         acc_out_ref[:, :] = jnp.full((1, 1), acc_ref[0, 0], jnp.float32)
 
 
-def _bwd_kernel(bp_ref, last_ref, path_ref, state_ref):
+def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, start_ref, mu_ref,
+                      sig_ref, uni_ref, luni_ref, bp_ref, score_out_ref,
+                      acc_out_ref, col_ref, acc_ref):
+    """R-read interleaved forward: R independent DP chains per grid cell.
+
+    The per-step recurrence is latency-bound (serial dependency through
+    the chunk loop); interleaving R reads gives the scheduler R
+    independent chains to overlap, the same trick as the align kernel's
+    batch-32 layout.  Per-read math is op-for-op identical to
+    :func:`_fwd_kernel`, so paths and tie-breaks match exactly.
+    """
+    sp = trans_ref.shape[0]
+    tc = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    eye = (sub == lane2).astype(jnp.float32)
+    chunk = bp_ref.shape[1]
+
+    def emit_row(x):
+        z = (x - mu_ref[:, :]) / sig_ref[:, :]
+        norm = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :]) - 0.5 * z * z
+        return jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], norm)
+
+    @pl.when(tc == 0)
+    def _init():
+        for r in range(R):
+            row0 = start_ref[:, :] + emit_row(obs_ref[r, 0])
+            m0 = jnp.max(row0)
+            col_ref[:, r * 1:r * 1 + 1] = jax.lax.dot_general(
+                eye, row0 - m0, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[0, r] = m0
+
+    def body(i, _):
+        t = tc * chunk + i
+        for r in range(R):
+            t_actual = tact_ref[0, r]
+            score_col = col_ref[:, r:r + 1]
+            cand = score_col + trans_ref[:, :]
+            new_row = jnp.max(cand, axis=0, keepdims=True)
+            hits = jnp.where(cand >= new_row, sub, sp)
+            bp_row = jnp.min(hits, axis=0, keepdims=True)
+            x = obs_ref[r, i]
+            new_row = new_row + emit_row(x)
+            m = jnp.max(new_row)
+            live = (t > 0) & (t < t_actual)
+            new_col = jax.lax.dot_general(
+                eye, new_row - m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            col_ref[:, r:r + 1] = jnp.where(live, new_col, score_col)
+            acc_ref[0, r] = acc_ref[0, r] + jnp.where(live, m, 0.0)
+            bp_ref[r, i, :] = jnp.where(live, bp_row, lane)[0, :].astype(jnp.float32)
+        return _
+
+    # dead-chunk skip: once every read in the group is past its length,
+    # the DP is frozen and the backward pass never reads these bp blocks
+    # (it reconstructs the identity walk itself), so skip the work — this
+    # is what makes whole-read-padded T cheap for short segments
+    mt = tact_ref[0, 0]
+    for r in range(1, R):
+        mt = jnp.maximum(mt, tact_ref[0, r])
+
+    @pl.when(tc * chunk < mt)
+    def _work():
+        jax.lax.fori_loop(0, chunk, body, None)
+
+    @pl.when(tc == pl.num_programs(1) - 1)
+    def _fin():
+        for r in range(R):
+            score_out_ref[r, :] = col_ref[:, r:r + 1].reshape(1, sp)[0, :]
+            acc_out_ref[0, r] = acc_ref[0, r]
+
+
+@partial(jax.jit, static_argnames=("R",))
+def viterbi_forward_pallas_multi(obs, t_actual, trans, start_row, mu, sigma,
+                                 uni, luni, R: int):
+    """Forward pass for R reads in one kernel instance.
+
+    obs: (R, T) f32, T multiple of CHUNK_T.
+    Returns (bp (R, T, SP) f32-coded, final rows (R, SP), acc (1, R)).
+    """
+    Rr, T = obs.shape
+    assert Rr == R and T % CHUNK_T == 0
+    sp = trans.shape[0]
+    interpret = jax.default_backend() != "tpu"
+    grid = (1, T // CHUNK_T)
+    bp, final_rows, acc = pl.pallas_call(
+        partial(_fwd_kernel_multi, R),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, CHUNK_T), lambda b, i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((sp, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, CHUNK_T, sp), lambda b, i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, T, sp), jnp.float32),
+            jax.ShapeDtypeStruct((R, sp), jnp.float32),
+            jax.ShapeDtypeStruct((1, R), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sp, R), jnp.float32),
+            pltpu.SMEM((1, R), jnp.float32),
+        ],
+        interpret=interpret,
+    )(obs, t_actual.reshape(1, R).astype(jnp.int32),
+      trans, start_row, mu, sigma, uni, luni)
+    return bp, final_rows, acc
+
+
+def _bwd_kernel(bp_ref, last_ref, mt_ref, path_ref, state_ref):
     sp = bp_ref.shape[1]
     tc = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
@@ -101,6 +221,8 @@ def _bwd_kernel(bp_ref, last_ref, path_ref, state_ref):
 
     chunk = bp_ref.shape[0]
     lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    n_chunks = pl.num_programs(1)
+    start_t = (n_chunks - 1 - tc) * chunk  # blocks walk in reverse order
 
     def body(k, path_row):
         i = chunk - 1 - k
@@ -112,8 +234,17 @@ def _bwd_kernel(bp_ref, last_ref, path_ref, state_ref):
         state_ref[0, 0] = prev
         return path_row
 
-    path_row = jax.lax.fori_loop(0, chunk, body, jnp.zeros((1, chunk), jnp.float32))
-    path_ref[:, :] = jnp.broadcast_to(path_row, path_ref.shape)
+    @pl.when(start_t < mt_ref[0, 0])
+    def _walk():
+        path_row = jax.lax.fori_loop(0, chunk, body, jnp.zeros((1, chunk), jnp.float32))
+        path_ref[:, :] = jnp.broadcast_to(path_row, path_ref.shape)
+
+    @pl.when(start_t >= mt_ref[0, 0])
+    def _dead():
+        # bp was never written here (forward skipped the chunk); the walk
+        # through it is the identity, so the path is the held state
+        path_ref[:, :] = jnp.broadcast_to(
+            state_ref[0, 0].astype(jnp.float32), path_ref.shape)
 
 
 @partial(jax.jit, static_argnames=())
@@ -162,9 +293,15 @@ def viterbi_forward_pallas(obs, t_actual, trans, start_row, mu, sigma, uni, luni
 
 
 @partial(jax.jit, static_argnames=())
-def viterbi_backward_pallas(bp, last):
-    """Walk bp (T, SP) back from ``last``; returns path (T,) int32."""
+def viterbi_backward_pallas(bp, last, max_t=None):
+    """Walk bp (T, SP) back from ``last``; returns path (T,) int32.
+
+    ``max_t``: chunks starting at/after it were skipped by the forward
+    pass (no bp written) and are reconstructed as the identity walk.
+    """
     T, sp = bp.shape
+    if max_t is None:
+        max_t = jnp.int32(T)
     interpret = jax.default_backend() != "tpu"
     n_chunks = T // CHUNK_T
     grid = (1, n_chunks)
@@ -175,13 +312,15 @@ def viterbi_backward_pallas(bp, last):
             pl.BlockSpec((CHUNK_T, sp), lambda b, i: (n_chunks - 1 - i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((8, CHUNK_T), lambda b, i: (0, n_chunks - 1 - i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
         interpret=interpret,
-    )(bp, jnp.reshape(last.astype(jnp.int32), (1, 1)))
+    )(bp, jnp.reshape(last.astype(jnp.int32), (1, 1)),
+      jnp.reshape(jnp.asarray(max_t, jnp.int32), (1, 1)))
     return path[0].astype(jnp.int32)
 
 
@@ -230,21 +369,45 @@ def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
     return logp, path
 
 
-@jax.jit
-def _viterbi_batch_jit(obs, t_actual, trans, start, mu, sigma, uni, luni, end):
-    def one(o, t):
-        bp, final_row, acc = viterbi_forward_pallas(o, t, trans, start, mu, sigma, uni, luni)
-        final = final_row + end
-        last = jnp.argmax(final[0]).astype(jnp.int32)
-        logp = final[0, last] + acc[0, 0]
-        path = viterbi_backward_pallas(bp, last)
+READS_PER_CELL = 8  # forward-kernel interleave width
+
+
+@partial(jax.jit, static_argnames=("R",))
+def _viterbi_batch_jit(obs, t_actual, trans, start, mu, sigma, uni, luni, end,
+                       R: int):
+    B, T = obs.shape
+
+    def group(o, t):
+        bp, final_rows, acc = viterbi_forward_pallas_multi(
+            o, t, trans, start, mu, sigma, uni, luni, R=R)
+        final = final_rows + end  # (R, SP)
+        last = jnp.argmax(final, axis=1).astype(jnp.int32)
+        logp = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0] + acc[0, :]
+        mt = jnp.max(t)  # forward skipped chunks past the group max length
+        path = jax.vmap(lambda b, l: viterbi_backward_pallas(b, l, mt))(bp, last)
         return logp, path
 
-    return jax.vmap(one)(obs, t_actual)
+    logp, path = jax.vmap(group)(obs.reshape(B // R, R, T),
+                                 t_actual.reshape(B // R, R))
+    return logp.reshape(B), path.reshape(B, T)
 
 
 def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
-    """Decode a whole (B, T) batch in one dispatch (vmapped kernels)."""
-    return _viterbi_batch_jit(obs_batch.astype(jnp.float32),
-                              t_actual_batch.astype(jnp.int32),
-                              ph.trans, ph.start, ph.mu, ph.sigma, ph.uni, ph.luni, ph.end)
+    """Decode a whole (B, T) batch in one dispatch.
+
+    Reads are processed READS_PER_CELL at a time inside the forward
+    kernel (interleaved DP chains); the batch is padded up to a multiple
+    of that width with one-step dummy reads.
+    """
+    obs_batch = obs_batch.astype(jnp.float32)
+    t_actual_batch = t_actual_batch.astype(jnp.int32)
+    B = obs_batch.shape[0]
+    R = min(READS_PER_CELL, max(B, 1))
+    bpad = (-B) % R
+    if bpad:
+        obs_batch = jnp.pad(obs_batch, ((0, bpad), (0, 0)))
+        t_actual_batch = jnp.pad(t_actual_batch, (0, bpad), constant_values=1)
+    logp, path = _viterbi_batch_jit(obs_batch, t_actual_batch,
+                                    ph.trans, ph.start, ph.mu, ph.sigma,
+                                    ph.uni, ph.luni, ph.end, R)
+    return logp[:B], path[:B]
