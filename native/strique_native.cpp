@@ -131,6 +131,40 @@ void preprocess_read(const double* raw, int64_t n, const double* model,
     norm(flt.data(), flt_n);
 }
 
+// Upload-oriented preprocessing: same math as preprocess_read, but the
+// morph channel is returned as its uint8 quantization bins plus a 256-entry
+// float32 level table (morph is floor-quantized to 0..255 before the
+// minmax affine, so bins+LUT reproduce the float32 morph bit-exactly at a
+// quarter of the transfer bytes); flt is returned as float32 directly.
+void preprocess_read_lut(const double* raw, int64_t n, const double* model,
+                         float* flt32, double* flt64, uint8_t* q_out,
+                         float* lut256) {
+    std::vector<double> flt(n), morph(n);
+    medfilt3_f64(raw, n, flt.data());
+    double med = median_f64(flt.data(), n);
+    double mad = mad_f64(flt.data(), n);
+    morph_open_close_f64(flt.data(), n, med, mad, morph.data());
+    auto affine = [&](const double* ch) {
+        double m5, m95;
+        minmax_tails_f64(ch, n, &m5, &m95);
+        double half_sig = (m95 - m5) / 2.0, mid_sig = m5 + half_sig;
+        double half_mod = (model[1] - model[0]) / 2.0, mid_mod = model[0] + half_mod;
+        double scale = half_mod / half_sig;
+        return std::pair<double, double>(scale, mid_mod - mid_sig * scale);
+    };
+    auto mo = affine(morph.data());
+    for (int64_t i = 0; i < n; ++i)
+        q_out[i] = (uint8_t)morph[i];  // open/close of floor-bins stays in 0..255
+    for (int v = 0; v < 256; ++v)
+        lut256[v] = (float)std::min(model[3], std::max(model[2], v * mo.first + mo.second));
+    auto fo = affine(flt.data());
+    for (int64_t i = 0; i < n; ++i) {
+        double v = std::min(model[3], std::max(model[2], flt[i] * fo.first + fo.second));
+        flt64[i] = v;
+        flt32[i] = (float)v;
+    }
+}
+
 // ---------------------------------------------------------------------------
 // CPU semi-global affine aligner (fallback / oracle)
 // ---------------------------------------------------------------------------

@@ -39,6 +39,10 @@ def _load():
     dp = ctypes.POINTER(ctypes.c_double)
     lib.preprocess_read.argtypes = [dp, ctypes.c_int64, dp, dp, dp]
     lib.preprocess_read.restype = None
+    fp = ctypes.POINTER(ctypes.c_float)
+    up = ctypes.POINTER(ctypes.c_uint8)
+    lib.preprocess_read_lut.argtypes = [dp, ctypes.c_int64, dp, fp, dp, up, fp]
+    lib.preprocess_read_lut.restype = None
     lib.align_semiglobal_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -70,6 +74,36 @@ def preprocess_read(raw: np.ndarray, model_const: tuple) -> tuple[np.ndarray, np
         morph_n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         flt_n.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return morph_n, flt_n
+
+
+def preprocess_read_lut(raw: np.ndarray, model_const: tuple,
+                        flt32_out: np.ndarray, q_out: np.ndarray,
+                        lut_out: np.ndarray) -> np.ndarray:
+    """Native upload-oriented preprocessing.
+
+    Writes flt32 (float32), morph quantization bins (uint8), and the
+    256-entry float32 morph level table into the caller's buffers (which
+    may be views into a batch upload buffer); returns flt float64 for
+    host-side exact log-p computation.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    rawd = np.ascontiguousarray(raw, dtype=np.float64)
+    n = len(rawd)
+    model = np.asarray(model_const, dtype=np.float64)
+    flt64 = np.empty(n, np.float64)
+    assert flt32_out.dtype == np.float32 and flt32_out.flags.c_contiguous
+    assert q_out.dtype == np.uint8 and q_out.flags.c_contiguous
+    assert lut_out.dtype == np.float32 and len(lut_out) == 256
+    lib.preprocess_read_lut(
+        rawd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+        model.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        flt32_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        flt64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        q_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lut_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return flt64
 
 
 def align_semiglobal(a: np.ndarray, b: np.ndarray, params) -> tuple[float, np.ndarray, np.ndarray]:
