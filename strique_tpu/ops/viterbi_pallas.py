@@ -90,16 +90,31 @@ def _fwd_kernel(obs_ref, tact_ref, trans_ref, start_ref, mu_ref, sig_ref,
         acc_out_ref[:, :] = jnp.full((1, 1), acc_ref[0, 0], jnp.float32)
 
 
-def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, start_ref, mu_ref,
-                      sig_ref, uni_ref, luni_ref, bp_ref, score_out_ref,
-                      acc_out_ref, col_ref, acc_ref):
-    """R-read interleaved forward: R independent DP chains per grid cell.
+def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
+                      start_col_ref, mu_ref, sig_ref, uni_ref, luni_ref,
+                      muc_ref, sigc_ref, unic_ref, lunic_ref,
+                      bp_ref, score_out_ref, acc_out_ref, rows_ref, fin_ref,
+                      acc_ref):
+    """R-read, orientation-alternating forward kernel.
 
-    The per-step recurrence is latency-bound (serial dependency through
-    the chunk loop); interleaving R reads gives the scheduler R
-    independent chains to overlap, the same trick as the align kernel's
-    batch-32 layout.  Per-read math is op-for-op identical to
-    :func:`_fwd_kernel`, so paths and tie-breaks match exactly.
+    Two structural wins over the naive per-step formulation:
+
+      * even time steps consume the state as a row and reduce the
+        candidate matrix over lanes (using transT); odd steps consume a
+        column and reduce over sublanes (using trans).  The state never
+        needs the per-step identity-matmul relayout, so the MXU is off
+        the serial critical path entirely (it only transposes
+        backpointer rows and state snapshots, which nothing downstream
+        in the recurrence waits on).
+      * backpointer rows accumulate in registers and store once per 8
+        steps as a (8, SP) sublane-aligned tile, avoiding per-step
+        read-modify-write of narrow rows.
+
+    Per-read values and tie-breaks are bit-identical to _fwd_kernel: the
+    same candidate sums are maxed (reduction axis doesn't change max) and
+    the same >= comparisons pick the minimum source index.  The final
+    state per read is snapshotted at t == t_actual-1 in row form instead
+    of carrying a frozen column.
     """
     sp = trans_ref.shape[0]
     tc = pl.program_id(1)
@@ -107,66 +122,96 @@ def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, start_ref, mu_ref,
     sub = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
     eye = (sub == lane2).astype(jnp.float32)
-    chunk = bp_ref.shape[1]
+    oct8 = jax.lax.broadcasted_iota(jnp.int32, (8, sp), 0)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (R, sp), 0)
+    n_oct = bp_ref.shape[1]  # CHUNK_T // 8 octets per chunk
+    chunk = n_oct * 8
 
     def emit_row(x):
         z = (x - mu_ref[:, :]) / sig_ref[:, :]
         norm = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :]) - 0.5 * z * z
         return jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], norm)
 
+    def emit_col(x):
+        z = (x - muc_ref[:, :]) / sigc_ref[:, :]
+        norm = -0.5 * _LOG2PI - jnp.log(sigc_ref[:, :]) - 0.5 * z * z
+        return jnp.where(unic_ref[:, :] != 0, lunic_ref[:, :], norm)
+
+    def t_row(x):  # (SP, 1) -> (1, SP) off the critical path (MXU)
+        return jax.lax.dot_general(x, eye, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
     @pl.when(tc == 0)
     def _init():
         for r in range(R):
-            row0 = start_ref[:, :] + emit_row(obs_ref[r, 0])
-            m0 = jnp.max(row0)
-            col_ref[:, r * 1:r * 1 + 1] = jax.lax.dot_general(
-                eye, row0 - m0, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc_ref[0, r] = m0
+            acc_ref[0, r] = 0.0
 
-    def body(i, _):
-        t = tc * chunk + i
-        for r in range(R):
-            t_actual = tact_ref[0, r]
-            score_col = col_ref[:, r:r + 1]
-            cand = score_col + trans_ref[:, :]
-            new_row = jnp.max(cand, axis=0, keepdims=True)
-            hits = jnp.where(cand >= new_row, sub, sp)
-            bp_row = jnp.min(hits, axis=0, keepdims=True)
-            x = obs_ref[r, i]
-            new_row = new_row + emit_row(x)
-            m = jnp.max(new_row)
-            live = (t > 0) & (t < t_actual)
-            new_col = jax.lax.dot_general(
-                eye, new_row - m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            col_ref[:, r:r + 1] = jnp.where(live, new_col, score_col)
-            acc_ref[0, r] = acc_ref[0, r] + jnp.where(live, m, 0.0)
-            bp_ref[r, i, :] = jnp.where(live, bp_row, lane)[0, :].astype(jnp.float32)
-        return _
-
-    # dead-chunk skip: once every read in the group is past its length,
-    # the DP is frozen and the backward pass never reads these bp blocks
-    # (it reconstructs the identity walk itself), so skip the work — this
-    # is what makes whole-read-padded T cheap for short segments
     mt = tact_ref[0, 0]
     for r in range(1, R):
         mt = jnp.maximum(mt, tact_ref[0, r])
 
+    def oct_body(oct_i, carry):
+        rows, fin = carry
+        bp8 = [jnp.zeros((8, sp), jnp.float32) for _ in range(R)]
+        cols = [None] * R
+        for s8 in range(8):
+            i = oct_i * 8 + s8
+            t = tc * chunk + i
+            for r in range(R):
+                tact = tact_ref[0, r]
+                x = obs_ref[r, i]
+                if s8 % 2 == 0:
+                    # even t: row state in, column state out (transT)
+                    row_r = rows[r:r + 1, :]
+                    cand = row_r + transT_ref[:, :]  # [v, u]
+                    new_col = jnp.max(cand, axis=1, keepdims=True)
+                    hits = jnp.where(cand >= new_col, lane2, sp)
+                    bp_c = jnp.min(hits, axis=1, keepdims=True)  # (SP, 1)
+                    val = new_col + emit_col(x)
+                    val = jnp.where(t == 0, start_col_ref[:, :] + emit_col(x), val)
+                    m = jnp.max(val)
+                    st = val - m
+                    cols[r] = st
+                    bp_row = t_row(bp_c.astype(jnp.float32))
+                    snap_row = t_row(st)
+                else:
+                    # odd t: column state in, row state out (trans)
+                    cand = cols[r] + trans_ref[:, :]  # [u, v]
+                    new_row = jnp.max(cand, axis=0, keepdims=True)
+                    hits = jnp.where(cand >= new_row, sub, sp)
+                    bp_row = jnp.min(hits, axis=0, keepdims=True).astype(jnp.float32)
+                    val = new_row + emit_row(x)
+                    m = jnp.max(val)
+                    st = val - m
+                    rows = jnp.where(rsel == r, st, rows)
+                    snap_row = st
+                live = (t > 0) & (t < tact)
+                acc_ref[0, r] = acc_ref[0, r] + jnp.where(t < tact, m, 0.0)
+                fin = jnp.where((rsel == r) & (t == tact - 1), snap_row, fin)
+                bp_fin = jnp.where(live, bp_row, lane.astype(jnp.float32))
+                bp8[r] = jnp.where(oct8 == s8, bp_fin, bp8[r])
+        for r in range(R):
+            bp_ref[r, oct_i, :, :] = bp8[r]
+        return rows, fin
+
     @pl.when(tc * chunk < mt)
     def _work():
-        jax.lax.fori_loop(0, chunk, body, None)
+        rows, fin = jax.lax.fori_loop(
+            0, n_oct, oct_body, (rows_ref[:, :], fin_ref[:, :]))
+        rows_ref[:, :] = rows
+        fin_ref[:, :] = fin
 
     @pl.when(tc == pl.num_programs(1) - 1)
     def _fin():
+        score_out_ref[:, :] = fin_ref[:, :]
         for r in range(R):
-            score_out_ref[r, :] = col_ref[:, r:r + 1].reshape(1, sp)[0, :]
             acc_out_ref[0, r] = acc_ref[0, r]
 
 
 @partial(jax.jit, static_argnames=("R",))
-def viterbi_forward_pallas_multi(obs, t_actual, trans, start_row, mu, sigma,
-                                 uni, luni, R: int):
+def viterbi_forward_pallas_multi(obs, t_actual, trans, transT, start_col,
+                                 mu, sigma, uni, luni,
+                                 muc, sigc, unic, lunic, R: int):
     """Forward pass for R reads in one kernel instance.
 
     obs: (R, T) f32, T multiple of CHUNK_T.
@@ -177,37 +222,39 @@ def viterbi_forward_pallas_multi(obs, t_actual, trans, start_row, mu, sigma,
     sp = trans.shape[0]
     interpret = jax.default_backend() != "tpu"
     grid = (1, T // CHUNK_T)
+    const = lambda b, i: (0, 0)
+    vspec = pl.BlockSpec((1, sp), const, memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((sp, 1), const, memory_space=pltpu.VMEM)
     bp, final_rows, acc = pl.pallas_call(
         partial(_fwd_kernel_multi, R),
         grid=grid,
         in_specs=[
             pl.BlockSpec((R, CHUNK_T), lambda b, i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((sp, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((sp, sp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, sp), const, memory_space=pltpu.VMEM),
+            cspec, vspec, vspec, vspec, vspec, cspec, cspec, cspec, cspec,
         ],
         out_specs=[
-            pl.BlockSpec((R, CHUNK_T, sp), lambda b, i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, CHUNK_T // 8, 8, sp), lambda b, i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, sp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), const, memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, T, sp), jnp.float32),
+            jax.ShapeDtypeStruct((R, T // 8, 8, sp), jnp.float32),
             jax.ShapeDtypeStruct((R, sp), jnp.float32),
             jax.ShapeDtypeStruct((1, R), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((sp, R), jnp.float32),
+            pltpu.VMEM((R, sp), jnp.float32),
+            pltpu.VMEM((R, sp), jnp.float32),
             pltpu.SMEM((1, R), jnp.float32),
         ],
         interpret=interpret,
     )(obs, t_actual.reshape(1, R).astype(jnp.int32),
-      trans, start_row, mu, sigma, uni, luni)
-    return bp, final_rows, acc
+      trans, transT, start_col, mu, sigma, uni, luni, muc, sigc, unic, lunic)
+    return bp.reshape(R, T, sp), final_rows, acc
 
 
 def _bwd_kernel(bp_ref, last_ref, mt_ref, path_ref, state_ref):
@@ -347,12 +394,18 @@ class PaddedHMM:
         luni = np.zeros((1, sp), np.float32)
         luni[0, :S] = chm.log_uni
         self.trans = jnp.asarray(trans)
+        self.transT = jnp.asarray(np.ascontiguousarray(trans.T))
         self.start = jnp.asarray(start)
+        self.start_col = jnp.asarray(np.ascontiguousarray(start.T))
         self.end = jnp.asarray(end)
         self.mu = jnp.asarray(mu)
         self.sigma = jnp.asarray(sigma)
         self.uni = jnp.asarray(uni)
         self.luni = jnp.asarray(luni)
+        self.mu_col = jnp.asarray(np.ascontiguousarray(mu.T))
+        self.sigma_col = jnp.asarray(np.ascontiguousarray(sigma.T))
+        self.uni_col = jnp.asarray(np.ascontiguousarray(uni.T))
+        self.luni_col = jnp.asarray(np.ascontiguousarray(luni.T))
 
 
 def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
@@ -369,17 +422,20 @@ def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
     return logp, path
 
 
-READS_PER_CELL = 8  # forward-kernel interleave width
+READS_PER_CELL = 1  # forward-kernel interleave width (>1 exceeds scoped
+                    # VMEM: the 8-substep unroll keeps a (SP,SP) candidate
+                    # temporary live per read; interleave measured neutral)
 
 
 @partial(jax.jit, static_argnames=("R",))
-def _viterbi_batch_jit(obs, t_actual, trans, start, mu, sigma, uni, luni, end,
-                       R: int):
+def _viterbi_batch_jit(obs, t_actual, trans, transT, start_col, mu, sigma,
+                       uni, luni, muc, sigc, unic, lunic, end, R: int):
     B, T = obs.shape
 
     def group(o, t):
         bp, final_rows, acc = viterbi_forward_pallas_multi(
-            o, t, trans, start, mu, sigma, uni, luni, R=R)
+            o, t, trans, transT, start_col, mu, sigma, uni, luni,
+            muc, sigc, unic, lunic, R=R)
         final = final_rows + end  # (R, SP)
         last = jnp.argmax(final, axis=1).astype(jnp.int32)
         logp = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0] + acc[0, :]
@@ -408,6 +464,8 @@ def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
         obs_batch = jnp.pad(obs_batch, ((0, bpad), (0, 0)))
         t_actual_batch = jnp.pad(t_actual_batch, (0, bpad), constant_values=1)
     logp, path = _viterbi_batch_jit(obs_batch, t_actual_batch,
-                                    ph.trans, ph.start, ph.mu, ph.sigma,
-                                    ph.uni, ph.luni, ph.end, R)
+                                    ph.trans, ph.transT, ph.start_col,
+                                    ph.mu, ph.sigma, ph.uni, ph.luni,
+                                    ph.mu_col, ph.sigma_col, ph.uni_col,
+                                    ph.luni_col, ph.end, R)
     return logp[:B], path[:B]
