@@ -105,16 +105,25 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     return out
 
 
-def traceback_pointers(ptrs, j_end, m: int):
+def traceback_pointers(ptrs, j_end, m: int, packed: bool = False):
     """Walk the 4-bit pointer array back from cell (m, j_end).
 
     ``ptrs``: (N, MP) with MP >= m; byte at [j-1, i-1] describes DP cell
-    (row i, column j).  Returns per-template-element gap flags and signal
-    positions plus ``j_begin``.
+    (row i, column j).  With ``packed`` (the Pallas kernel's layout),
+    ``ptrs`` is (N//8, MP) int32 and column j's code sits in nibble
+    (j-1) % 8 of word [(j-1)//8, i-1].  Returns per-template-element gap
+    flags and signal positions plus ``j_begin``.
     """
-    def lookup(jc, ic):
-        return jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1].astype(jnp.uint8),
-                         jnp.uint8(MAT_V | 8))
+    if packed:
+        def lookup(jc, ic):
+            jz = jnp.maximum(jc - 1, 0)
+            word = ptrs[jz // 8, ic - 1]
+            nib = (word >> (4 * (jz % 8))) & 15
+            return jnp.where(jc > 0, nib.astype(jnp.uint8), jnp.uint8(MAT_V | 8))
+    else:
+        def lookup(jc, ic):
+            return jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1].astype(jnp.uint8),
+                             jnp.uint8(MAT_V | 8))
 
     def cond(state):
         i, j, cur, is_gap, jpos = state
@@ -158,8 +167,9 @@ def _align_batch_pallas(signals, n_actual, template_padded,
     bottom = jnp.concatenate([jnp.full((signals.shape[0], 1), b0), bottom], axis=1)
     j_end = jnp.argmax(bottom, axis=1).astype(jnp.int32)
     score = jnp.take_along_axis(bottom, j_end[:, None], axis=1)[:, 0]
-    # ptr layout is (N, B, MP): vmap the traceback over the read axis 1
-    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual), in_axes=(1, 0))(ptr, j_end)
+    # ptr layout is (N//8, B, MP) nibble-packed: vmap over the read axis 1
+    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual, packed=True),
+                  in_axes=(1, 0))(ptr, j_end)
     return {"score": score, "j_end": j_end, **tb}
 
 

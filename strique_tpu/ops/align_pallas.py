@@ -49,9 +49,9 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _align_kernel(params: AlignParams, m_actual: int, direct_i8: bool,
+def _align_kernel(params: AlignParams, m_actual: int,
                   sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
-                  S_ref, Ih_ref, pb_ref):
+                  S_ref, Ih_ref):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -81,10 +81,10 @@ def _align_kernel(params: AlignParams, m_actual: int, direct_i8: bool,
     def shift1(x, fill):
         return jnp.concatenate([jnp.full((batch, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
-    def col_body(c_in, carry):
+    def col_body(c_in, u, carry):
         # DP state rides in fori_loop carry (registers) — VMEM scratch is
         # only touched at grid-step boundaries
-        S, Ih, bt = carry
+        S, Ih, bt, acc = carry
         # per-read signal value: masked lane select from the aligned tile
         sel = sel_iota == c_in
         aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
@@ -109,70 +109,57 @@ def _align_kernel(params: AlignParams, m_actual: int, direct_i8: bool,
         ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
         ivx = (shift1(newIv, NEG) + ge_v >= shift1(newS, 0.0) + go_v).astype(jnp.int32) << 3
         pbi = which | ihx | ivx
-        # store at lane i-1 for row i (matches ops.align layout)
-        if direct_i8:
-            # batch is a multiple of the int8 sublane tile (32): store the
-            # column plane straight to the output block, no f32 scratch
-            pb = pbi.astype(jnp.int8)
-            pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
-            ptr_ref[c_in, :, :] = pb_shifted
-        else:
-            # scratch is (CHUNK, batch, mp) f32 so each column writes one
-            # tile-aligned plane (Mosaic forbids sub-tile narrow-int stores)
-            pb = pbi.astype(jnp.float32)
-            pb_shifted = jnp.concatenate([pb[:, 1:], pb[:, :1]], axis=1)
-            pb_ref[c_in, :, :] = pb_shifted
+        # pack the 4-bit code at lane i-1 for row i (matches ops.align
+        # layout) into nibble u of the running int32 plane — one aligned
+        # store per 8 columns instead of 128 per-column plane stores
+        pb_shifted = jnp.concatenate([pbi[:, 1:], pbi[:, :1]], axis=1)
+        acc = acc | (pb_shifted << (4 * u))
         # bottom-row score, accumulated into an aligned 128-lane tile
         j = chunk * CHUNK + c_in + 1
         live = j <= nact
         bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
         bt = jnp.where(sel, bval, bt)
-        return newS, newIh, bt
+        return newS, newIh, bt, acc
 
     def col_body8(q, carry):
         # 8x unroll: best measured scheduling window for the Mosaic backend
-        # (4x: 61.7 reads/s, 8x: 66.8, 16x: 63.8 end-to-end)
+        # (4x: 61.7 reads/s, 8x: 66.8, 16x: 63.8 end-to-end); also the
+        # nibble-packing window for the pointer plane
+        S, Ih, bt = carry
+        acc = jnp.zeros((batch, mp), jnp.int32)
         for u in range(8):
-            carry = col_body(q * 8 + u, carry)
-        return carry
+            S, Ih, bt, acc = col_body(q * 8 + u, u, (S, Ih, bt, acc))
+        ptr_ref[q, :, :] = acc
+        return S, Ih, bt
 
     carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
     S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
     S_ref[:, :] = S_fin
     Ih_ref[:, :] = Ih_fin
-    if not direct_i8:
-        ptr_ref[:, :, :] = pb_ref[:, :, :].astype(jnp.int8)
     bottom_ref[:, :] = bt_fin
 
 
 @partial(jax.jit, static_argnames=("params", "m_actual"))
 def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams,
                          m_actual: int):
-    """Forward DP for a batch of B reads (B = BATCH or a multiple of 32).
+    """Forward DP for a batch of B reads.
 
     signals: (B, N) float32, N a multiple of CHUNK.
     template_padded: (1, MP) float32, lane i = template[i-1], MP multiple
     of 128; pad lanes hold +1e30 so they never win.
-    Returns (ptr (N, B, MP) int8 — column-major across reads for
-    tile-aligned kernel stores — and bottom (B, N) f32).
-
-    When B is a multiple of 32 (the int8 sublane tile) pointer planes are
-    stored straight to the output block, skipping the f32 staging scratch
-    — this is what makes B=32 fit in VMEM and is also the fast path.
+    Returns (ptr (N//8, B, MP) int32 — the 4-bit pointer code for column
+    j lives in nibble (j-1) % 8 of word (j-1) // 8, column-major across
+    reads — and bottom (B, N) f32).  Nibble packing cuts pointer-plane
+    stores 8x and keeps them tile-aligned for any B that is a multiple
+    of the f32 sublane tile (8).
     """
     B, N = signals.shape
-    assert (B == BATCH or B % 32 == 0) and N % CHUNK == 0
-    direct_i8 = B % 32 == 0
+    assert B % 8 == 0 and N % CHUNK == 0
     mp = template_padded.shape[1]
     grid = (N // CHUNK,)
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    scratch = [
-        pltpu.VMEM((B, mp), jnp.float32),
-        pltpu.VMEM((B, mp), jnp.float32),
-        pltpu.VMEM((CHUNK if not direct_i8 else 1, B, mp), jnp.float32),
-    ]
     ptr, bottom = pl.pallas_call(
-        partial(_align_kernel, params, m_actual, direct_i8),
+        partial(_align_kernel, params, m_actual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -180,14 +167,17 @@ def align_forward_pallas(signals, n_actual, template_padded, params: AlignParams
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK // 8, B, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((N, B, mp), jnp.int8),
+            jax.ShapeDtypeStruct((N // 8, B, mp), jnp.int32),
             jax.ShapeDtypeStruct((B, N), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+        ],
         interpret=interpret,
     )(signals, template_padded, n_actual[:, None].astype(jnp.int32))
     return ptr, bottom
