@@ -125,34 +125,41 @@ def traceback_pointers(ptrs, j_end, m: int, packed: bool = False):
             return jnp.where(jc > 0, ptrs[jnp.maximum(jc - 1, 0), ic - 1].astype(jnp.uint8),
                              jnp.uint8(MAT_V | 8))
 
+    iota_m = jnp.arange(m, dtype=jnp.int32)
+
     def cond(state):
-        i, j, cur, is_gap, jpos = state
+        i, j, cur, byte, is_gap, jpos = state
         return i > 0
 
     def body(state):
-        i, j, cur, is_gap, jpos = state
-        byte = lookup(j, i)
+        # one lookup per step (the fetched next-cell byte is carried), and
+        # masked dense row updates instead of scatters — scatters inside a
+        # vmapped while_loop dominate traceback runtime on TPU
+        i, j, cur, byte, is_gap, jpos = state
         is_m = cur == MAT_M
         is_h = cur == MAT_H
         is_v = cur == MAT_V
         # template element i-1 is consumed on diagonal or vertical moves
         consume = is_m | is_v
-        is_gap = jnp.where(consume, is_gap.at[i - 1].set(is_v), is_gap)
-        jpos = jnp.where(consume, jpos.at[i - 1].set(j - 1), jpos)
+        sel = consume & (iota_m == i - 1)
+        is_gap = jnp.where(sel, is_v, is_gap)
+        jpos = jnp.where(sel, j - 1, jpos)
         ni = jnp.where(is_h, i, i - 1)
         nj = jnp.where(is_v, j, j - 1)
         ext = jnp.where(is_h, (byte >> 2) & 1, (byte >> 3) & 1)
         stay = (~is_m) & (ext == 1)
         nbyte = lookup(nj, ni)
         ncur = jnp.where(stay, cur, jnp.where(ni > 0, (nbyte & 3).astype(jnp.int32), MAT_M))
-        return ni, nj, ncur, is_gap, jpos
+        return ni, nj, ncur, nbyte, is_gap, jpos
 
     # inits are tainted with j_end for shard_map varying-axes typing (no-ops)
     i0 = jnp.int32(m) + 0 * j_end
-    cur0 = (lookup(j_end, i0) & 3).astype(jnp.int32)
+    byte0 = lookup(j_end, i0)
+    cur0 = (byte0 & 3).astype(jnp.int32)
     is_gap0 = jnp.zeros((m,), dtype=bool) | (j_end < 0)
     jpos0 = jnp.zeros((m,), dtype=jnp.int32) + 0 * j_end
-    _, j_begin, _, is_gap, jpos = jax.lax.while_loop(cond, body, (i0, j_end, cur0, is_gap0, jpos0))
+    _, j_begin, _, _, is_gap, jpos = jax.lax.while_loop(
+        cond, body, (i0, j_end, cur0, byte0, is_gap0, jpos0))
     return {"is_gap": is_gap, "jpos": jpos, "j_begin": j_begin}
 
 

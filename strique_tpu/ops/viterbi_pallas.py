@@ -1,15 +1,34 @@
 """Pallas TPU kernels for dense max-plus Viterbi decoding.
 
-Forward: per time step the candidate matrix ``score[u] + trans[u, v]``
-is reduced over the source-state sublane axis on the VPU; the resulting
-row vector is flipped back into column orientation with a single
-identity matmul on the MXU (cheaper than a vector relayout).  Scores are
-rescaled by the per-step max so float32 keeps full precision on argmax
-margins; backpointers stream to HBM through the blocked output.
+Replaces pomegranate's Cython Viterbi (reference scripts/STRique.py:434,
+:493) over compile-time silent-eliminated HMMs (reference bake semantics,
+scripts/STRique.py:431).
 
-Backward: a second kernel walks the backpointer array in reverse chunk
-order entirely in VMEM, extracting ``bp[t, state]`` with a one-hot lane
-select per step.
+Forward: per time step the candidate matrix ``score[u] + trans[u, v]`` is
+max-reduced on the VPU; even steps consume the state as a row against
+``transT`` and odd steps as a column against ``trans``, so the state never
+needs a per-step relayout (the MXU only transposes state snapshots, which
+nothing in the recurrence waits on).  Scores are rescaled by the per-step
+max so float32 keeps full precision on argmax margins.
+
+Instead of materializing backpointers (whose first-max tie-break costs
+~190 vreg-ops/step of compare/select/min-reduce), the forward streams the
+*rescaled score rows* to HBM — the same bytes, no extra work — and the
+backward pass recomputes the winning transition lazily, only for the one
+state per step that the optimal path actually visits:
+
+    bp[t] = min{ u : score[t-1, u] + trans[u, path[t]] == max_u(...) }
+
+The sums are the identical f32 adds the forward maxed over, and max/min
+reductions are order-independent, so the decoded path is bit-identical to
+an explicit-backpointer forward — verified against the XLA-scan decoder
+in tests/test_pallas.py.
+
+Backward runs all reads of a batch lane-parallel in ONE kernel: the
+per-read path states live in a (B, 1) column, each step selects the
+``trans[:, state]`` rows for the whole batch with a one-hot MXU matmul,
+and path rows accumulate in registers.  This replaces B sequential
+per-read walks with one walk of the same length.
 
 States are padded to a multiple of 128 lanes; pad states get -inf
 start/transition mass and never win.
@@ -26,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 CHUNK_T = 512
+BWD_CT = 64  # backward time-chunk (must divide CHUNK_T)
 LANE = 128
 _LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -34,97 +54,27 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _fwd_kernel(obs_ref, tact_ref, trans_ref, start_ref, mu_ref, sig_ref,
-                uni_ref, luni_ref, bp_ref, score_out_ref, acc_out_ref,
-                col_ref, acc_ref):
-    sp = trans_ref.shape[0]
-    tc = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
-    eye = (sub == lane2).astype(jnp.float32)
-    t_actual = tact_ref[0, 0]
-
-    def emit_row(x):
-        z = (x - mu_ref[:, :]) / sig_ref[:, :]
-        norm = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :]) - 0.5 * z * z
-        return jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], norm)
-
-    @pl.when(tc == 0)
-    def _init():
-        row0 = start_ref[:, :] + emit_row(obs_ref[0, 0])
-        m0 = jnp.max(row0)
-        col_ref[:, :] = jax.lax.dot_general(
-            eye, row0 - m0, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc_ref[0, 0] = m0
-
-    def body(i, _):
-        # global time index t: bp[t] describes the transition into time t
-        # (row 0 is an identity placeholder — time 0 has no transition)
-        t = tc * bp_ref.shape[0] + i
-        score_col = col_ref[:, :]  # (SP, 1)
-        cand = score_col + trans_ref[:, :]  # (SP_u, SP_v)
-        new_row = jnp.max(cand, axis=0, keepdims=True)  # (1, SP)
-        # first-max tie-break: min source index among maxima
-        hits = jnp.where(cand >= new_row, sub, sp)
-        bp_row = jnp.min(hits, axis=0, keepdims=True)  # (1, SP) int32
-        x = obs_ref[0, i]  # SMEM scalar read, chunk-local index
-        new_row = new_row + emit_row(x)
-        m = jnp.max(new_row)
-        live = (t > 0) & (t < t_actual)
-        new_col = jax.lax.dot_general(
-            eye, new_row - m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        col_ref[:, :] = jnp.where(live, new_col, score_col)
-        acc_ref[0, 0] = acc_ref[0, 0] + jnp.where(live, m, 0.0)
-        bp_ref[i, :] = jnp.where(live, bp_row, lane)[0, :].astype(jnp.float32)
-        return _
-
-    jax.lax.fori_loop(0, bp_ref.shape[0], body, None)
-
-    @pl.when(tc == pl.num_programs(1) - 1)
-    def _fin():
-        score_out_ref[:, :] = col_ref[:, :].reshape(1, sp)
-        # scalar stores to VMEM are not allowed; write a (1,1) vector
-        acc_out_ref[:, :] = jnp.full((1, 1), acc_ref[0, 0], jnp.float32)
-
-
 def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
                       start_col_ref, mu_ref, sig_ref, uni_ref, luni_ref,
                       muc_ref, sigc_ref, unic_ref, lunic_ref,
-                      bp_ref, score_out_ref, acc_out_ref, rows_ref, fin_ref,
+                      sc_ref, score_out_ref, acc_out_ref, rows_ref, fin_ref,
                       acc_ref):
     """R-read, orientation-alternating forward kernel.
 
-    Two structural wins over the naive per-step formulation:
-
-      * even time steps consume the state as a row and reduce the
-        candidate matrix over lanes (using transT); odd steps consume a
-        column and reduce over sublanes (using trans).  The state never
-        needs the per-step identity-matmul relayout, so the MXU is off
-        the serial critical path entirely (it only transposes
-        backpointer rows and state snapshots, which nothing downstream
-        in the recurrence waits on).
-      * backpointer rows accumulate in registers and store once per 8
-        steps as a (8, SP) sublane-aligned tile, avoiding per-step
-        read-modify-write of narrow rows.
-
-    Per-read values and tie-breaks are bit-identical to _fwd_kernel: the
-    same candidate sums are maxed (reduction axis doesn't change max) and
-    the same >= comparisons pick the minimum source index.  The final
-    state per read is snapshotted at t == t_actual-1 in row form instead
-    of carrying a frozen column.
+    Streams the rescaled score row of every step to ``sc_ref`` (the
+    backward pass recomputes backpointers from them on demand).  Score
+    rows accumulate in registers and store once per 8 steps as a (8, SP)
+    sublane-aligned tile, avoiding per-step read-modify-write of narrow
+    rows.  The final state per read is snapshotted at t == t_actual-1.
     """
     sp = trans_ref.shape[0]
     tc = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 0)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
     eye = (sub == lane2).astype(jnp.float32)
     oct8 = jax.lax.broadcasted_iota(jnp.int32, (8, sp), 0)
     rsel = jax.lax.broadcasted_iota(jnp.int32, (R, sp), 0)
-    n_oct = bp_ref.shape[1]  # CHUNK_T // 8 octets per chunk
+    n_oct = sc_ref.shape[1]  # CHUNK_T // 8 octets per chunk
     chunk = n_oct * 8
 
     def emit_row(x):
@@ -152,7 +102,7 @@ def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
 
     def oct_body(oct_i, carry):
         rows, fin = carry
-        bp8 = [jnp.zeros((8, sp), jnp.float32) for _ in range(R)]
+        sc8 = [jnp.zeros((8, sp), jnp.float32) for _ in range(R)]
         cols = [None] * R
         for s8 in range(8):
             i = oct_i * 8 + s8
@@ -165,33 +115,26 @@ def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
                     row_r = rows[r:r + 1, :]
                     cand = row_r + transT_ref[:, :]  # [v, u]
                     new_col = jnp.max(cand, axis=1, keepdims=True)
-                    hits = jnp.where(cand >= new_col, lane2, sp)
-                    bp_c = jnp.min(hits, axis=1, keepdims=True)  # (SP, 1)
                     val = new_col + emit_col(x)
                     val = jnp.where(t == 0, start_col_ref[:, :] + emit_col(x), val)
                     m = jnp.max(val)
                     st = val - m
                     cols[r] = st
-                    bp_row = t_row(bp_c.astype(jnp.float32))
                     snap_row = t_row(st)
                 else:
                     # odd t: column state in, row state out (trans)
                     cand = cols[r] + trans_ref[:, :]  # [u, v]
                     new_row = jnp.max(cand, axis=0, keepdims=True)
-                    hits = jnp.where(cand >= new_row, sub, sp)
-                    bp_row = jnp.min(hits, axis=0, keepdims=True).astype(jnp.float32)
                     val = new_row + emit_row(x)
                     m = jnp.max(val)
                     st = val - m
                     rows = jnp.where(rsel == r, st, rows)
                     snap_row = st
-                live = (t > 0) & (t < tact)
                 acc_ref[0, r] = acc_ref[0, r] + jnp.where(t < tact, m, 0.0)
                 fin = jnp.where((rsel == r) & (t == tact - 1), snap_row, fin)
-                bp_fin = jnp.where(live, bp_row, lane.astype(jnp.float32))
-                bp8[r] = jnp.where(oct8 == s8, bp_fin, bp8[r])
+                sc8[r] = jnp.where(oct8 == s8, snap_row, sc8[r])
         for r in range(R):
-            bp_ref[r, oct_i, :, :] = bp8[r]
+            sc_ref[r, oct_i, :, :] = sc8[r]
         return rows, fin
 
     @pl.when(tc * chunk < mt)
@@ -215,7 +158,8 @@ def viterbi_forward_pallas_multi(obs, t_actual, trans, transT, start_col,
     """Forward pass for R reads in one kernel instance.
 
     obs: (R, T) f32, T multiple of CHUNK_T.
-    Returns (bp (R, T, SP) f32-coded, final rows (R, SP), acc (1, R)).
+    Returns (score rows (R, T, SP) f32, final rows (R, SP), acc (1, R)).
+    sc[t] is the rescaled Viterbi score row after observation t.
     """
     Rr, T = obs.shape
     assert Rr == R and T % CHUNK_T == 0
@@ -225,7 +169,7 @@ def viterbi_forward_pallas_multi(obs, t_actual, trans, transT, start_col,
     const = lambda b, i: (0, 0)
     vspec = pl.BlockSpec((1, sp), const, memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((sp, 1), const, memory_space=pltpu.VMEM)
-    bp, final_rows, acc = pl.pallas_call(
+    sc, final_rows, acc = pl.pallas_call(
         partial(_fwd_kernel_multi, R),
         grid=grid,
         in_specs=[
@@ -254,121 +198,120 @@ def viterbi_forward_pallas_multi(obs, t_actual, trans, transT, start_col,
         interpret=interpret,
     )(obs, t_actual.reshape(1, R).astype(jnp.int32),
       trans, transT, start_col, mu, sigma, uni, luni, muc, sigc, unic, lunic)
-    return bp.reshape(R, T, sp), final_rows, acc
+    return sc.reshape(R, T, sp), final_rows, acc
 
 
-def _bwd_kernel(bp_ref, last_ref, mt_ref, path_ref, state_ref):
-    sp = bp_ref.shape[1]
+def _bwd_batch_kernel(sc_ref, bnd_ref, transT_ref, last_ref, tact_ref,
+                      mt_ref, path_ref, st_ref):
+    """Lane-parallel backward walk over all reads at once.
+
+    sc_ref: (CT, B, SP) score rows of this (reverse-order) time chunk.
+    bnd_ref: (1, B, SP) score row of the last step of the previous chunk
+    (i.e. scores[t-1] for the chunk's first step).
+    The per-read walk states live in st_ref (B, 1); each step selects the
+    ``trans[:, state]`` rows for the whole batch via a one-hot matmul on
+    ``transT`` and replays the forward's max and first-max tie-break on
+    the identical f32 sums.
+    """
+    ct, Bb, sp = sc_ref.shape
     tc = pl.program_id(1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sp), 1)
+    nc = pl.num_programs(1)
+    start_t = (nc - 1 - tc) * ct  # blocks walk in reverse order
+    laneB = jax.lax.broadcasted_iota(jnp.int32, (Bb, sp), 1)
+    subP = jax.lax.broadcasted_iota(jnp.int32, (ct, Bb), 0)
+    eyeB = (jax.lax.broadcasted_iota(jnp.int32, (Bb, Bb), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (Bb, Bb), 1)).astype(jnp.float32)
 
     @pl.when(tc == 0)
     def _init():
-        state_ref[0, 0] = last_ref[0, 0]
+        st_ref[:, :] = last_ref[:, :]
 
-    chunk = bp_ref.shape[0]
-    lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    n_chunks = pl.num_programs(1)
-    start_t = (n_chunks - 1 - tc) * chunk  # blocks walk in reverse order
-
-    def body(k, path_row):
-        i = chunk - 1 - k
-        st = state_ref[0, 0]
-        # accumulate the path in a register-carried row (no scalar VMEM stores)
-        path_row = jnp.where(lane_c == i, st.astype(jnp.float32), path_row)
-        row = bp_ref[i, :].astype(jnp.int32)[None, :]
-        prev = jnp.max(jnp.where(lane == st, row, -1))
-        state_ref[0, 0] = prev
-        return path_row
+    def t_rowB(x):  # (B, 1) f32 -> (1, B)
+        return jax.lax.dot_general(x, eyeB, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
     @pl.when(start_t < mt_ref[0, 0])
     def _walk():
-        path_row = jax.lax.fori_loop(0, chunk, body, jnp.zeros((1, chunk), jnp.float32))
-        path_ref[:, :] = jnp.broadcast_to(path_row, path_ref.shape)
+        def body(k, carry):
+            st, tile = carry  # (B, 1) i32, (CT, B) f32
+            i = ct - 1 - k
+            t = start_t + i
+            # path[t] = current state, before stepping the walk
+            row = t_rowB(st.astype(jnp.float32))
+            tile = jnp.where(subP == i, row, tile)
+            prev = jnp.where(i == 0, bnd_ref[0], sc_ref[jnp.maximum(i - 1, 0)])
+            onehot = (laneB == st).astype(jnp.float32)
+            trow = jax.lax.dot_general(
+                onehot, transT_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # row r = trans[:, st_r]
+            cand = prev + trow
+            mx = jnp.max(cand, axis=1, keepdims=True)
+            hits = jnp.where(cand >= mx, laneB, sp)
+            bp = jnp.min(hits, axis=1, keepdims=True)
+            st = jnp.where((t >= 1) & (t < tact_ref[:, :]), bp, st)
+            return st, tile
+
+        st, tile = jax.lax.fori_loop(
+            0, ct, body, (st_ref[:, :], jnp.zeros((ct, Bb), jnp.float32)))
+        path_ref[:, :] = tile
+        st_ref[:, :] = st
 
     @pl.when(start_t >= mt_ref[0, 0])
     def _dead():
-        # bp was never written here (forward skipped the chunk); the walk
-        # through it is the identity, so the path is the held state
+        # the forward skipped these chunks entirely (t >= every read's
+        # t_actual): the walk through them is the identity
         path_ref[:, :] = jnp.broadcast_to(
-            state_ref[0, 0].astype(jnp.float32), path_ref.shape)
+            t_rowB(st_ref[:, :].astype(jnp.float32)), path_ref.shape)
 
 
 @partial(jax.jit, static_argnames=())
-def viterbi_forward_pallas(obs, t_actual, trans, start_row, mu, sigma, uni, luni):
-    """Forward pass for one read.
+def viterbi_backward_batch(scores, last, t_actual, max_t, transT):
+    """Decode paths for a whole batch from forward score rows.
 
-    obs: (T,) f32, T multiple of CHUNK_T; state tensors padded to SP lanes.
-    Returns (bp (T, SP) f32-coded ints, final_row (1, SP), acc (1,1)).
-    bp[t] describes the transition into observation t+1 (bp[T-1..] pads).
+    scores: (B, T, SP) f32 rescaled score rows; last: (B,) i32 final
+    states; t_actual: (B,) i32 true lengths; max_t: scalar — chunks at or
+    past it were skipped by the forward.  Returns (B, T) i32 paths
+    (path[t] = last for t >= t_actual, matching the frozen walk).
     """
-    T = obs.shape[0]
-    sp = trans.shape[0]
+    B, T, sp = scores.shape
+    assert T % BWD_CT == 0
+    bpad = (-B) % 8
+    if bpad:
+        scores = jnp.pad(scores, ((0, bpad), (0, 0), (0, 0)))
+        last = jnp.pad(last, (0, bpad))
+        t_actual = jnp.pad(t_actual, (0, bpad), constant_values=1)
+    Bp = B + bpad
     interpret = jax.default_backend() != "tpu"
-    grid = (1, T // CHUNK_T)
-    bp, final_row, acc = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, CHUNK_T), lambda b, i: (0, i), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((sp, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((CHUNK_T, sp), lambda b, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, sp), jnp.float32),
-            jax.ShapeDtypeStruct((1, sp), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((sp, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(obs[None, :], jnp.reshape(t_actual.astype(jnp.int32), (1, 1)),
-      trans, start_row, mu, sigma, uni, luni)
-    return bp, final_row, acc
-
-
-@partial(jax.jit, static_argnames=())
-def viterbi_backward_pallas(bp, last, max_t=None):
-    """Walk bp (T, SP) back from ``last``; returns path (T,) int32.
-
-    ``max_t``: chunks starting at/after it were skipped by the forward
-    pass (no bp written) and are reconstructed as the identity walk.
-    """
-    T, sp = bp.shape
-    if max_t is None:
-        max_t = jnp.int32(T)
-    interpret = jax.default_backend() != "tpu"
-    n_chunks = T // CHUNK_T
-    grid = (1, n_chunks)
+    nc = T // BWD_CT
+    scT = jnp.transpose(scores, (1, 0, 2))  # (T, B, SP)
+    # bnd[c] = scores[c*CT - 1]: the cross-chunk boundary row
+    bnd = jnp.concatenate(
+        [jnp.zeros((1, Bp, sp), jnp.float32), scT[BWD_CT - 1::BWD_CT][: nc - 1]])
     path = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
+        _bwd_batch_kernel,
+        grid=(1, nc),
         in_specs=[
-            pl.BlockSpec((CHUNK_T, sp), lambda b, i: (n_chunks - 1 - i, 0),
+            pl.BlockSpec((BWD_CT, Bp, sp),
+                         partial(lambda nch, b, i: (nch - 1 - i, 0, 0), nc),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Bp, sp),
+                         partial(lambda nch, b, i: (nch - 1 - i, 0, 0), nc),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sp, sp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bp, 1), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((8, CHUNK_T), lambda b, i: (0, n_chunks - 1 - i),
+        out_specs=pl.BlockSpec((BWD_CT, Bp),
+                               partial(lambda nch, b, i: (nch - 1 - i, 0), nc),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((T, Bp), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bp, 1), jnp.int32)],
         interpret=interpret,
-    )(bp, jnp.reshape(last.astype(jnp.int32), (1, 1)),
+    )(scT, bnd, transT, last.reshape(Bp, 1).astype(jnp.int32),
+      t_actual.reshape(Bp, 1).astype(jnp.int32),
       jnp.reshape(jnp.asarray(max_t, jnp.int32), (1, 1)))
-    return path[0].astype(jnp.int32)
+    return jnp.transpose(path).astype(jnp.int32)[:B]
 
 
 class PaddedHMM:
@@ -410,16 +353,9 @@ class PaddedHMM:
 
 def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
     """Full decode for one read; matches ops.viterbi.viterbi_scan outputs."""
-    T = obs.shape[0]
-    assert T % CHUNK_T == 0, "pad T to the kernel chunk"
-    bp, final_row, acc = viterbi_forward_pallas(
-        obs.astype(jnp.float32), t_actual, ph.trans, ph.start,
-        ph.mu, ph.sigma, ph.uni, ph.luni)
-    final = final_row + ph.end
-    last = jnp.argmax(final[0]).astype(jnp.int32)
-    logp = final[0, last] + acc[0, 0]
-    path = viterbi_backward_pallas(bp, last)
-    return logp, path
+    logp, path = viterbi_pallas_batch(
+        obs[None, :], jnp.asarray(t_actual).reshape(1), ph)
+    return logp[0], path[0]
 
 
 READS_PER_CELL = 1  # forward-kernel interleave width (>1 exceeds scoped
@@ -431,29 +367,29 @@ READS_PER_CELL = 1  # forward-kernel interleave width (>1 exceeds scoped
 def _viterbi_batch_jit(obs, t_actual, trans, transT, start_col, mu, sigma,
                        uni, luni, muc, sigc, unic, lunic, end, R: int):
     B, T = obs.shape
+    sp = trans.shape[0]
 
     def group(o, t):
-        bp, final_rows, acc = viterbi_forward_pallas_multi(
+        return viterbi_forward_pallas_multi(
             o, t, trans, transT, start_col, mu, sigma, uni, luni,
             muc, sigc, unic, lunic, R=R)
-        final = final_rows + end  # (R, SP)
-        last = jnp.argmax(final, axis=1).astype(jnp.int32)
-        logp = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0] + acc[0, :]
-        mt = jnp.max(t)  # forward skipped chunks past the group max length
-        path = jax.vmap(lambda b, l: viterbi_backward_pallas(b, l, mt))(bp, last)
-        return logp, path
 
-    logp, path = jax.vmap(group)(obs.reshape(B // R, R, T),
-                                 t_actual.reshape(B // R, R))
-    return logp.reshape(B), path.reshape(B, T)
+    sc, final_rows, acc = jax.vmap(group)(obs.reshape(B // R, R, T),
+                                          t_actual.reshape(B // R, R))
+    final = final_rows.reshape(B, sp) + end  # broadcast (1, SP)
+    last = jnp.argmax(final, axis=1).astype(jnp.int32)
+    logp = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0] + acc.reshape(B)
+    mt = jnp.max(t_actual)  # forward skipped chunks past the batch max length
+    path = viterbi_backward_batch(sc.reshape(B, T, sp), last, t_actual, mt, transT)
+    return logp, path
 
 
 def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
     """Decode a whole (B, T) batch in one dispatch.
 
-    Reads are processed READS_PER_CELL at a time inside the forward
-    kernel (interleaved DP chains); the batch is padded up to a multiple
-    of that width with one-step dummy reads.
+    The forward runs READS_PER_CELL reads per kernel instance (vmapped
+    over the batch); the backward walks every read of the batch
+    lane-parallel in a single kernel.
     """
     obs_batch = obs_batch.astype(jnp.float32)
     t_actual_batch = t_actual_batch.astype(jnp.int32)

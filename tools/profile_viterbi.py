@@ -23,7 +23,7 @@ def main():
     from strique_tpu.hmm.models import build_flanked_repeat
     from strique_tpu.ops.viterbi_pallas import (CHUNK_T, PaddedHMM,
                                                 viterbi_forward_pallas_multi,
-                                                viterbi_backward_pallas)
+                                                viterbi_backward_batch)
     from strique_tpu.pore_model import PoreModel
 
     pm = PoreModel(MODEL_FILE)
@@ -45,8 +45,8 @@ def main():
             ph.mu_col, ph.sigma_col, ph.uni_col, ph.luni_col, R=1)
 
     fwd = jax.jit(lambda o, t: jax.vmap(fwd_one)(o, t))
-    bwd = jax.jit(lambda bp, last, mt: jax.vmap(
-        lambda b, l: viterbi_backward_pallas(b, l, mt))(bp, last))
+    bwd = jax.jit(lambda sc, last, tact, mt: viterbi_backward_batch(
+        sc, last, tact, mt, ph.transT))
 
     def sync(x):
         leaves = jax.tree_util.tree_leaves(x)
@@ -55,9 +55,9 @@ def main():
 
     r = fwd(obs, tact)
     sync(r)
-    bp = r[0].reshape(B, T, ph.sp)
+    sc = r[0].reshape(B, T, ph.sp)
     last = jnp.zeros((B,), jnp.int32)
-    pr = bwd(bp, last, jnp.int32(seg))
+    pr = bwd(sc, last, tact, jnp.int32(seg))
     sync(pr)
 
     for _ in range(3):
@@ -65,7 +65,7 @@ def main():
         r = fwd(obs, tact)
         sync(r)
         t1 = time.perf_counter()
-        pr = bwd(bp, last, jnp.int32(seg))
+        pr = bwd(sc, last, tact, jnp.int32(seg))
         sync(pr)
         t2 = time.perf_counter()
         print(f"fwd {1e3*(t1-t0):7.1f} ms   bwd {1e3*(t2-t1):7.1f} ms"
