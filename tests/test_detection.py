@@ -101,3 +101,29 @@ def test_modification(pm, backbone):
     assert n2 == i
     # the mCpG-generated signal should trigger more 'mod' unit calls
     assert mod_mod.count("1") >= mod_base.count("1")
+
+
+def test_pomegranate_compat_mode(pm, backbone):
+    """Opt-in pomegranate-compat bake artifact: +ln(10) per dummy visit.
+
+    The flag must (a) shift exactly the dummy emissions by ln(10) and
+    nothing else, and (b) keep clean-signal synthetic counts exact (the
+    reference passes its own synthetic suite with the baked model, so a
+    correct compat model must too).  See PARITY.md.
+    """
+    from strique_tpu.hmm.models import build_flanked_repeat
+
+    lit = build_flanked_repeat("GGCCCC", PREFIX_C9[-50:], SUFFIX_C9[:50], pm)
+    cmp_ = build_flanked_repeat("GGCCCC", PREFIX_C9[-50:], SUFFIX_C9[:50], pm,
+                                {"pomegranate_compat": True})
+    d = cmp_.log_uni - lit.log_uni
+    assert np.allclose(d[cmp_.meta["count_states"]], np.log(10.0))
+    assert np.all(d[~cmp_.meta["count_states"]] == 0.0)
+    np.testing.assert_array_equal(lit.log_trans, cmp_.log_trans)
+
+    dt = RepeatCounter(MODEL, hmm_config={"pomegranate_compat": True})
+    dt.add_target("c9orf72", "GGCCCC", PREFIX_C9, SUFFIX_C9)
+    for i in (25, 40):
+        seq = backbone[:1000] + PREFIX_C9 + "GGCCCC" * i + SUFFIX_C9 + backbone[-1000:]
+        n, sp, ss, p, off, ticks, mod = _run(dt, pm, seq, "c9orf72")
+        assert n == i
