@@ -77,14 +77,20 @@ def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
     n_oct = sc_ref.shape[1]  # CHUNK_T // 8 octets per chunk
     chunk = n_oct * 8
 
+    # loop-invariant emission constants: the transcendental is computed
+    # once per grid step, not per time step (bit-identical — same Mosaic
+    # log on the same f32 sigma)
+    lsig_row = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :])
+    lsig_col = -0.5 * _LOG2PI - jnp.log(sigc_ref[:, :])
+
     def emit_row(x):
         z = (x - mu_ref[:, :]) / sig_ref[:, :]
-        norm = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :]) - 0.5 * z * z
+        norm = lsig_row - 0.5 * z * z
         return jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], norm)
 
     def emit_col(x):
         z = (x - muc_ref[:, :]) / sigc_ref[:, :]
-        norm = -0.5 * _LOG2PI - jnp.log(sigc_ref[:, :]) - 0.5 * z * z
+        norm = lsig_col - 0.5 * z * z
         return jnp.where(unic_ref[:, :] != 0, lunic_ref[:, :], norm)
 
     def t_row(x):  # (SP, 1) -> (1, SP) off the critical path (MXU)
@@ -115,8 +121,9 @@ def _fwd_kernel_multi(R: int, obs_ref, tact_ref, trans_ref, transT_ref,
                     row_r = rows[r:r + 1, :]
                     cand = row_r + transT_ref[:, :]  # [v, u]
                     new_col = jnp.max(cand, axis=1, keepdims=True)
-                    val = new_col + emit_col(x)
-                    val = jnp.where(t == 0, start_col_ref[:, :] + emit_col(x), val)
+                    ec = emit_col(x)
+                    val = new_col + ec
+                    val = jnp.where(t == 0, start_col_ref[:, :] + ec, val)
                     m = jnp.max(val)
                     st = val - m
                     cols[r] = st
