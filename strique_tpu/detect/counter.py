@@ -5,6 +5,15 @@ TPU-first equivalent of the reference ``repeatCounter``
 (median filter, morphology, normalization scalars — exact float64
 NumPy), device-side DP kernels (flank alignment + HMM Viterbi) over
 padded, bucketed tensors so every shape is static under jit.
+
+The device side runs as ONE fused dispatch per batch — alignment of
+both flanks, traceback, segment bounds, QC gate, repeat-segment roll,
+Viterbi decode and result packing — costing a single packed D2H.  With a
+``jax.sharding.Mesh`` the identical pipeline runs under ``shard_map``
+over the mesh's ``data`` axis: reads shard across chips, model tensors
+replicate, and per-read results are independent, so multi-chip output is
+bitwise identical to single-device (the TPU-native replacement for the
+reference's fork-based worker pool, scripts/STRique.py:733-830).
 """
 from __future__ import annotations
 
@@ -18,6 +27,8 @@ from ..ops import signal as signal_ops
 from ..ops import viterbi as viterbi_ops
 from ..ops.reference import AlignParams
 from ..pore_model import PoreModel, mean_abs_dev
+from ..utils.logging import LogLevel, log
+from .packed import path_itemsize, unpack_results
 
 DEFAULT_ALIGN_CONFIG = {
     # reference scripts/STRique.py:507-513
@@ -35,12 +46,28 @@ _COMPLEMENT = str.maketrans("ACGT", "TGCA")
 
 _LUT_LEVELS = 256
 
+# uint16 path packing bounds the fused tail; beyond this (never for real
+# repeat HMMs) the two-phase host-bounds path takes over
+MAX_FUSED_STATES = 65536
 
-def _unpack_upload_impl(buf, npad):
+
+def _buf_bytes(npad: int) -> int:
+    """Byte-packed upload row size: [flt f32 | LUT f32 | morph u8]."""
+    return 4 * npad + 4 * _LUT_LEVELS + npad
+
+
+def _unpack_upload(buf):
+    """Byte buffer (B, _buf_bytes(npad)) -> (morph, flt) device channels.
+
+    morph is floor-quantized to 0..255 by construction, so it ships as
+    uint8 bins plus a per-read f32 level table — bit-exact at a quarter
+    of the bytes; flt is continuous and ships as raw f32 bytes.
+    """
     import jax
     import jax.numpy as jnp
 
     B = buf.shape[0]
+    npad = (buf.shape[1] - 4 * _LUT_LEVELS) // 5
     flt = jax.lax.bitcast_convert_type(
         buf[:, : 4 * npad].reshape(B, npad, 4), jnp.float32)
     lut = jax.lax.bitcast_convert_type(
@@ -49,59 +76,6 @@ def _unpack_upload_impl(buf, npad):
     idx = buf[:, 4 * npad + 4 * _LUT_LEVELS :].astype(jnp.int32)
     morph = jnp.take_along_axis(lut, idx, axis=1)
     return morph, flt
-
-
-def _unpack_upload_jit(buf, npad):
-    import jax
-
-    return jax.jit(_unpack_upload_impl, static_argnames=("npad",))(buf, npad=npad)
-
-
-def _bounds_jit(pre, suf, n_sigs, trim_prefix, trim_suffix):
-    import jax
-
-    from ..ops.bounds import segment_bounds
-
-    return jax.jit(segment_bounds, static_argnames=("trim_prefix", "trim_suffix"))(
-        {k: pre[k] for k in ("score", "is_gap", "jpos")},
-        {k: suf[k] for k in ("score", "is_gap", "jpos")},
-        n_sigs, trim_prefix=trim_prefix, trim_suffix=trim_suffix)
-
-
-def _roll_jit_impl(flt, starts):
-    import jax
-    import jax.numpy as jnp
-
-    return jax.vmap(lambda x, s: jnp.roll(x, -s))(flt, starts)
-
-
-def _pack_jit_impl(b, paths):
-    import jax
-    import jax.numpy as jnp
-
-    meta = jnp.stack([
-        b["score_p"], b["span_p"].astype(jnp.float32),
-        b["score_s"], b["span_s"].astype(jnp.float32),
-        b["prefix_begin"].astype(jnp.float32), b["prefix_end"].astype(jnp.float32),
-        b["suffix_begin"].astype(jnp.float32), b["suffix_end"].astype(jnp.float32),
-        b["ok"].astype(jnp.float32), b["seg_len"].astype(jnp.float32),
-    ], axis=1)
-    # single byte buffer keeps the packed D2H small: the tunnel costs
-    # ~17 ms/MB on top of its flat latency, and paths dominate the bytes
-    meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(meta.shape[0], -1)
-    return jnp.concatenate([meta_u8, paths.astype(jnp.uint8)], axis=1)
-
-
-def _roll_jit(flt, starts):
-    import jax
-
-    return jax.jit(_roll_jit_impl)(flt, starts)
-
-
-def _pack_jit(b, paths):
-    import jax
-
-    return jax.jit(_pack_jit_impl)(b, paths)
 
 
 def reverse_complement(sequence: str) -> str:
@@ -153,10 +127,10 @@ class RepeatCounter:
         self.targets: dict[str, tuple[TargetClassifier, TargetClassifier]] = {}
         self.mesh = mesh
         # fused: bounds + segment gather + Viterbi run device-side in the
-        # align dispatch (one packed D2H per batch); the mesh-sharded path
-        # keeps the two-phase host bounds step
-        self.fused = mesh is None
-        self._dev_cache: dict[int, tuple] = {}
+        # align dispatch (one packed D2H per batch), single-device and
+        # mesh-sharded alike; flip off to use the two-phase host-bounds path
+        self.fused = True
+        self._dev_cache: dict = {}
 
     # -- model construction ------------------------------------------------
     def add_target(self, target_name: str, repeat: str, prefix: str, suffix: str) -> None:
@@ -214,6 +188,79 @@ class RepeatCounter:
 
         return jax.default_backend() == "tpu"
 
+    # -- fused device pipeline ----------------------------------------------
+    def _pipeline(self, tc: TargetClassifier, use_buf: bool):
+        """Build (and cache) the fused device pipeline for one target/strand.
+
+        The returned jitted callable maps the uploaded batch straight to
+        the packed result buffer: flank alignments -> tracebacks ->
+        segment bounds + QC gate -> repeat-segment roll -> Viterbi ->
+        byte packing.  Under ``self.mesh`` the whole body runs in
+        ``shard_map`` over the ``data`` axis (per-read work, no
+        cross-read communication), so each chip runs the same Pallas/XLA
+        kernels the single-device path uses.
+        """
+        key = ("pipeline", id(tc), use_buf)
+        if key in self._dev_cache:
+            return self._dev_cache[key]
+        import jax
+
+        from ..ops.bounds import segment_bounds
+        from .packed import pack_results
+
+        params = self.align_params
+        t_pre = np.asarray(tc.prefix_ext, np.float32)
+        t_suf = np.asarray(tc.suffix_ext, np.float32)
+        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
+        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
+        n_states = tc.repeat_hmm.n_states
+        if self._use_pallas():
+            ph = self._padded_hmm(tc.repeat_hmm)
+        else:
+            dev = self._device_hmm(tc.repeat_hmm)
+
+        def tail(morph, flt, n_sigs):
+            import jax.numpy as jnp
+
+            pre = align_ops.align_core(morph, n_sigs, t_pre, params)
+            suf = align_ops.align_core(morph, n_sigs, t_suf, params)
+            b = segment_bounds(
+                {k: pre[k] for k in ("score", "is_gap", "jpos")},
+                {k: suf[k] for k in ("score", "is_gap", "jpos")},
+                n_sigs, trim_prefix=trim_prefix, trim_suffix=trim_suffix)
+            rolled = jax.vmap(lambda x, s: jnp.roll(x, -s))(flt, b["prefix_begin"])
+            if self._use_pallas():
+                from ..ops.viterbi_pallas import viterbi_pallas_batch
+
+                _, paths = viterbi_pallas_batch(rolled, b["seg_len"], ph)
+            else:
+                _, paths = viterbi_ops.viterbi_scan_batch(rolled, b["seg_len"], *dev)
+            return pack_results(b, paths, n_states)
+
+        if use_buf:
+            def body(buf, n_sigs):
+                morph, flt = _unpack_upload(buf)
+                return tail(morph, flt, n_sigs)
+        else:
+            body = tail
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map
+
+            nin = 2 if use_buf else 3
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(P("data"),) * nin,
+                                   out_specs=P("data")))
+        else:
+            fn = jax.jit(body)
+        self._dev_cache[key] = fn
+        return fn
+
+    def _data_parallel_degree(self) -> int:
+        return int(self.mesh.shape["data"]) if self.mesh is not None else 1
+
     # -- detection ---------------------------------------------------------
     def detect(self, target_name: str, raw_signal: np.ndarray, strand: str):
         """Count repeats in one read (reference ``repeatCounter.detect`` :581-616).
@@ -225,15 +272,15 @@ class RepeatCounter:
     def detect_many(self, target_name: str, raw_signals, strand: str):
         """Batched detection of multiple reads against one target/strand.
 
-        Alignment runs as one batched device call (8 reads per Pallas
-        kernel invocation on TPU); Viterbi decodes follow per read.
+        Alignment runs as one batched device call; Viterbi decodes follow
+        per read.
         """
         return self.detect_finish(self.detect_submit(target_name, raw_signals, strand))
 
     def detect_submit(self, target_name: str, raw_signals, strand: str) -> dict:
-        """Phase 1: preprocessing + alignment dispatch (returns a handle).
+        """Phase 1: preprocessing + fused device dispatch (returns a handle).
 
-        The alignment results start copying to the host asynchronously;
+        The packed results start copying to the host asynchronously;
         callers can submit the next batch before calling
         :meth:`detect_finish` so device compute and transfers overlap.
         """
@@ -257,22 +304,26 @@ class RepeatCounter:
         npad = (npad + CHUNK_T - 1) // CHUNK_T * CHUNK_T
         import jax.numpy as jnp
 
-        # uint8 path packing needs state ids < 256 (always true for real
-        # repeat HMMs; enormous ones fall back to the two-phase path)
-        fusible = (self.fused and self.mesh is None
-                   and tc.repeat_hmm.n_states <= 256)
+        # the batch dimension shards over the mesh's data axis: pad to a
+        # multiple of its size (dummy rows are length-1 reads, gated out)
+        Bp = B + (-B) % self._data_parallel_degree()
+        n_sigs_p = np.ones(Bp, dtype=np.int32)
+        n_sigs_p[:B] = n_sigs
+
+        fusible = self.fused and tc.repeat_hmm.n_states <= MAX_FUSED_STATES
+        if self.fused and not fusible:
+            log(f"Counter: repeat HMM has {tc.repeat_hmm.n_states} states "
+                f"(> {MAX_FUSED_STATES}); using the two-phase host-bounds path.",
+                LogLevel.Info)
         have_native = native_lib.available()
         morphs = None
         if fusible and have_native:
             # single-pass native preprocessing writes straight into one
             # byte-buffer H2D (the link costs ~12 ms/MB plus a flat
-            # per-transfer latency).  morph is floor-quantized to 0..255
-            # by construction, so it ships as uint8 bins plus a per-read
-            # f32 level table — bit-exact at a quarter of the bytes; flt
-            # is continuous and ships as raw f32 bytes.
-            # Layout per row: [flt f32 bytes | LUT f32 bytes | morph u8].
+            # per-transfer latency); layout per row:
+            # [flt f32 bytes | LUT f32 bytes | morph u8]
             mc = model_const(self.pm)
-            buf = np.zeros((B, 4 * npad + 4 * _LUT_LEVELS + npad), dtype=np.uint8)
+            buf = np.zeros((Bp, _buf_bytes(npad)), dtype=np.uint8)
             flts = []
             for i, raw in enumerate(raws):
                 n = len(raw)
@@ -281,7 +332,9 @@ class RepeatCounter:
                 lut = row[4 * npad : 4 * npad + 4 * _LUT_LEVELS].view(np.float32)
                 q = row[4 * npad + 4 * _LUT_LEVELS :][:n]
                 flts.append(native_lib.preprocess_read_lut(raw, mc, flt32, q, lut))
-            morph_dev, flt_dev = _unpack_upload_jit(jnp.asarray(buf), npad)
+            packed_dev = self._pipeline(tc, use_buf=True)(jnp.asarray(buf),
+                                                          jnp.asarray(n_sigs_p))
+            state = {"fused": packed_dev}
         else:
             # host preprocessing (float64, exact scipy semantics); the
             # native C++ path is a single pass per read, NumPy otherwise
@@ -300,38 +353,28 @@ class RepeatCounter:
                     morphs.append(self.pm.normalize2model(morph, mode="minmax"))
                     flts.append(self.pm.normalize2model(flt, mode="minmax"))
             if fusible:
-                both = np.zeros((2 * B, npad), dtype=np.float32)
+                both = np.zeros((2 * Bp, npad), dtype=np.float32)
                 for i, m in enumerate(morphs):
                     both[i, : len(m)] = m
                 for i, f in enumerate(flts):
-                    both[B + i, : len(f)] = f
+                    both[Bp + i, : len(f)] = f
                 both_dev = jnp.asarray(both)
-                morph_dev, flt_dev = both_dev[:B], both_dev[B:]
+                packed_dev = self._pipeline(tc, use_buf=False)(
+                    both_dev[:Bp], both_dev[Bp:], jnp.asarray(n_sigs_p))
+                state = {"fused": packed_dev}
             else:
-                morph_pad = np.zeros((B, npad), dtype=np.float32)
+                morph_pad = np.zeros((Bp, npad), dtype=np.float32)
                 for i, m in enumerate(morphs):
                     morph_pad[i, : len(m)] = m
-                morph_dev = morph_pad
-
-        pre = align_ops.align_batch(morph_dev, n_sigs, tc.prefix_ext, self.align_params,
-                                    mesh=self.mesh)
-        suf = align_ops.align_batch(morph_dev, n_sigs, tc.suffix_ext, self.align_params,
-                                    mesh=self.mesh)
-        if fusible:
-            # fused tail: bounds, repeat-segment gather, and Viterbi all run
-            # device-side off the alignment outputs, so the whole batch
-            # costs a single packed D2H (the tunnel's transfer latency is
-            # flat and dominates per-batch cost)
-            packed_dev = self._fused_tail(tc, pre, suf, flt_dev,
-                                          jnp.asarray(n_sigs))
-            state = {"fused": packed_dev}
-        else:
-            # mesh-sharded path keeps the two-phase host bounds step
-            packed_dev = jnp.concatenate([
-                pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
-                suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
-            ], axis=1)
-            state = {"packed": packed_dev}
+                pre = align_ops.align_batch(morph_pad, n_sigs_p, tc.prefix_ext,
+                                            self.align_params, mesh=self.mesh)
+                suf = align_ops.align_batch(morph_pad, n_sigs_p, tc.suffix_ext,
+                                            self.align_params, mesh=self.mesh)
+                packed_dev = jnp.concatenate([
+                    pre["score"][:, None], pre["jpos"].astype(jnp.float32), pre["is_gap"].astype(jnp.float32),
+                    suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
+                ], axis=1)
+                state = {"packed": packed_dev}
         try:
             packed_dev.copy_to_host_async()
         except Exception:
@@ -339,38 +382,16 @@ class RepeatCounter:
         state.update({"tc": tc, "raws": raws, "flts": flts, "n_sigs": n_sigs, "B": B})
         return state
 
-    def _fused_tail(self, tc: TargetClassifier, pre, suf, flt_dev, n_sigs_dev):
-        """Device-side bounds → segment roll → Viterbi → one packed array.
+    def decode_bounds(self, state: dict):
+        """Decode a submit handle's packed results into per-read bounds.
 
-        Packed layout per read: [score_p, span_p, score_s, span_s,
-        prefix_begin, prefix_end, suffix_begin, suffix_end, ok, seg_len,
-        path[0:npad]] — all float32 (state ids < 2^24 are exact).
+        Returns (bounds, paths, seg_lens): bounds[i] = (ok, score_prefix,
+        score_suffix, prefix_begin, prefix_end, suffix_begin, suffix_end);
+        paths/seg_lens keyed by read index for gated-in reads.  Shared by
+        :meth:`detect_finish` and the parity tools so the packed layouts
+        have exactly one decoder.
         """
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.bounds import segment_bounds
-
-        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
-        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
-        b = _bounds_jit(pre, suf, n_sigs_dev, trim_prefix, trim_suffix)
-        rolled = _roll_jit(flt_dev, b["prefix_begin"])
-        if self._use_pallas():
-            from ..ops.viterbi_pallas import viterbi_pallas_batch
-
-            _, paths = viterbi_pallas_batch(rolled, b["seg_len"],
-                                            self._padded_hmm(tc.repeat_hmm))
-        else:
-            dev = self._device_hmm(tc.repeat_hmm)
-            _, paths = viterbi_ops.viterbi_scan_batch(rolled, b["seg_len"], *dev)
-        return _pack_jit(b, paths)
-
-    def detect_finish(self, state: dict):
-        """Phase 2: collect the packed batch results and decode on host."""
-        import jax.numpy as jnp
-
         tc = state["tc"]
-        raws = state["raws"]
         flts = state["flts"]
         n_sigs = state["n_sigs"]
         B = state["B"]
@@ -381,24 +402,18 @@ class RepeatCounter:
         paths = {}
         seg_lens = {}
         if "fused" in state:
-            packed = np.asarray(state["fused"])
-            meta = packed[:, :40].copy().view(np.float32)
-            path_mat = packed[:, 40:]
-            for i in range(B):
-                (score_p, span_p, score_s, span_s,
-                 pb, pe, sb, se, okf, seg_len) = meta[i]
-                span_p, span_s = int(span_p), int(span_s)
-                score_prefix = float(score_p) / span_p if span_p > 0 else 0.0
-                score_suffix = float(score_s) / span_s if span_s > 0 else 0.0
-                ok = bool(okf)
-                bounds.append((ok, score_prefix, score_suffix, int(pb), int(pe),
-                               int(sb), int(se)))
-                if ok:
-                    seg_lens[i] = int(seg_len)
-                    paths[i] = path_mat[i].astype(np.int32)
+            rows = unpack_results(np.asarray(state["fused"])[:B],
+                                  tc.repeat_hmm.n_states)
+            for i, r in enumerate(rows):
+                bounds.append((r.ok, r.score_prefix, r.score_suffix,
+                               r.prefix_begin, r.prefix_end,
+                               r.suffix_begin, r.suffix_end))
+                if r.ok:
+                    seg_lens[i] = r.seg_len
+                    paths[i] = r.path
         else:
             mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
-            packed = np.asarray(state["packed"])
+            packed = np.asarray(state["packed"])[:B]
             o = 0
             pre_score = packed[:, o]; o += 1
             pre_jpos = packed[:, o : o + mp_].astype(np.int64); o += mp_
@@ -430,6 +445,15 @@ class RepeatCounter:
                 for k, i in enumerate(live):
                     seg_lens[i] = len(segs[k])
                     paths[i] = all_paths[k]
+        return bounds, paths, seg_lens
+
+    def detect_finish(self, state: dict):
+        """Phase 2: collect the packed batch results and decode on host."""
+        tc = state["tc"]
+        raws = state["raws"]
+        flts = state["flts"]
+        B = state["B"]
+        bounds, paths, seg_lens = self.decode_bounds(state)
 
         results = []
         mod_jobs = []

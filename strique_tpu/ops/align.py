@@ -180,34 +180,18 @@ def _align_batch_pallas(signals, n_actual, template_padded,
     return {"score": score, "j_end": j_end, **tb}
 
 
-def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "auto",
-                mesh=None):
-    """Batched alignment front-end.
+def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
+               impl: str = "auto"):
+    """Batched alignment on local data — traceable inside jit/shard_map.
 
-    signals: (B, N); uses the Pallas kernel on TPU (B padded to 8, N to a
-    multiple of its chunk), the lax.scan kernel elsewhere.  With ``mesh``,
-    the batch is sharded over the mesh's ``data`` axis (B padded to a
-    multiple of the axis size; model tensors replicated).
-    Returns dict of per-read arrays (score, j_end, is_gap, jpos, j_begin).
+    signals: (B, N); uses the Pallas kernel on TPU (B padded to the
+    kernel batch, N must be a multiple of its chunk), the lax.scan kernel
+    elsewhere.  ``template_np`` must be a host numpy array (its length is
+    static).  Returns dict of per-read arrays (score, j_end, is_gap,
+    jpos, j_begin).
     """
-    if mesh is not None:
-        from ..parallel.mesh import batched_align
-
-        signals = jnp.asarray(signals, jnp.float32)
-        n_actual = jnp.asarray(n_actual, jnp.int32)
-        B = signals.shape[0]
-        dp = mesh.shape["data"]
-        bpad = (-B) % dp
-        if bpad:
-            signals = jnp.pad(signals, ((0, bpad), (0, 0)))
-            n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
-        out = batched_align(mesh, signals, n_actual, jnp.asarray(template, jnp.float32), params)
-        return {k: v[:B] for k, v in out.items()}
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    signals = jnp.asarray(signals, jnp.float32)
-    n_actual = jnp.asarray(n_actual, jnp.int32)
-    template = jnp.asarray(template, jnp.float32)
     if impl == "pallas":
         from .align_pallas import CHUNK, kernel_batch, pad_template
 
@@ -218,7 +202,7 @@ def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "a
         if bpad or npad:
             signals = jnp.pad(signals, ((0, bpad), (0, npad)))
             n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
-        tmpl_padded, m = pad_template(np.asarray(template))
+        tmpl_padded, m = pad_template(np.asarray(template_np))
         outs = []
         for b0 in range(0, signals.shape[0], kb):
             outs.append(_align_batch_pallas(
@@ -226,8 +210,41 @@ def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "a
                 jnp.asarray(tmpl_padded), params, m))
         out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
         return out
+    template = jnp.asarray(template_np, jnp.float32)
     inner = jax.vmap(lambda s, n: align_scan(s, n, template, params, True))
     return inner(signals, n_actual)
+
+
+def align_batch(signals, n_actual, template, params: AlignParams, impl: str = "auto",
+                mesh=None):
+    """Batched alignment front-end.
+
+    With ``mesh``, the batch is sharded over the mesh's ``data`` axis via
+    ``shard_map`` (B padded to a multiple of the axis size; template
+    replicated); each shard runs the same kernel the single-device path
+    uses — the Pallas forward on TPU, the XLA scan elsewhere.
+    Returns dict of per-read arrays (score, j_end, is_gap, jpos, j_begin).
+    """
+    signals = jnp.asarray(signals, jnp.float32)
+    n_actual = jnp.asarray(n_actual, jnp.int32)
+    template_np = np.asarray(template, np.float32)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import shard_map
+
+        B = signals.shape[0]
+        dp = mesh.shape["data"]
+        bpad = (-B) % dp
+        if bpad:
+            signals = jnp.pad(signals, ((0, bpad), (0, 0)))
+            n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
+        fn = shard_map(
+            lambda s, n: align_core(s, n, template_np, params, impl),
+            mesh, in_specs=(P("data"), P("data")), out_specs=P("data"))
+        out = fn(signals, n_actual)
+        return {k: v[:B] for k, v in out.items()}
+    return align_core(signals, n_actual, template_np, params, impl)
 
 
 def _nearest_positions(is_gap: np.ndarray, jpos: np.ndarray, n: int) -> np.ndarray:

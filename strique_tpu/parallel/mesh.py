@@ -40,7 +40,6 @@ def shard_map(f, mesh, in_specs, out_specs, check: bool = True):
             return _shard_map(f, check_rep=False, **kwargs)
     return _shard_map(f, **kwargs)
 
-from ..ops.align import align_scan
 from ..ops.viterbi import emission_logp
 
 
@@ -85,13 +84,18 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 def batched_align(mesh: Mesh | None, signals, n_actual, template, params,
-                  with_traceback: bool = True):
-    """vmap align_scan over a read batch, sharded over the ``data`` axis.
+                  impl: str = "auto"):
+    """Batched alignment sharded over the ``data`` axis.
 
     signals: (B, N) float32; n_actual: (B,) int32; template: (M,) float32.
-    B must be divisible by the data-axis size when a mesh is given.
+    B must be divisible by the data-axis size when a mesh is given.  Each
+    shard runs the production kernel (`ops.align.align_core`): the Pallas
+    forward on TPU, the XLA scan elsewhere.
     """
-    inner = jax.vmap(lambda s, n: align_scan(s, n, template, params, with_traceback))
+    from ..ops.align import align_core
+
+    template_np = np.asarray(template, np.float32)
+    inner = lambda s, n: align_core(s, n, template_np, params, impl)
     if mesh is None:
         return inner(signals, n_actual)
     fn = shard_map(inner, mesh,

@@ -50,20 +50,8 @@ def main():
     tc = state["tc"]
     flt = state["flts"][0]
 
-    import jax.numpy as jnp
-    from strique_tpu.ops import align as align_ops
-    packed = np.asarray(state["packed"])
-    mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
-    n_sig = int(state["n_sigs"][0])
-    o = 1
-    pre_jpos = packed[:, o:o + mp_].astype(np.int64); o += mp_
-    pre_gap = packed[:, o:o + mp_] != 0.0; o += mp_ + 1
-    suf_jpos = packed[:, o:o + ms_].astype(np.int64); o += ms_
-    suf_gap = packed[:, o:o + ms_] != 0.0
-    pos_p = align_ops._nearest_positions(pre_gap[0], pre_jpos[0], n_sig)
-    pos_s = align_ops._nearest_positions(suf_gap[0], suf_jpos[0], n_sig)
-    pb = int(pos_p[len(tc.prefix_ext) - len(tc.prefix)])
-    se = int(pos_s[len(pos_s) - 1 - (len(tc.suffix_ext) - len(tc.suffix))])
+    bounds, _, _ = rc.decode_bounds(state)
+    _, _, _, pb, _, _, se = bounds[0]
     seg = flt[pb:se].astype(np.float32)
 
     chm = tc.repeat_hmm

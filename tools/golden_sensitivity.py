@@ -50,41 +50,16 @@ def main():
     n0, sp, ss, logp0, offset, ticks, _ = res[0]
     print(f"base: count={n0} log_p={logp0:.2f} offset={offset} ticks={ticks}")
 
-    # reconstruct flt + bounds exactly as detect does
+    # reconstruct flt + bounds exactly as detect does (single decoder:
+    # counter.decode_bounds owns both packed layouts)
     tc = rc.targets["c9orf72"][1]  # minus strand
-    flts = state["flts"]
-    flt = flts[0]
-    prefix_begin = None
-    # recompute bounds via a fresh two-phase run with fused disabled
+    flt = state["flts"][0]
     rc2 = RepeatCounter(MODEL, align_config=cfg["align"], hmm_config=cfg["HMM"])
     rc2.fused = False
     rc2.add_target("c9orf72", rep, pre_seq, suf_seq)
     st2 = rc2.detect_submit("c9orf72", [raw], "-")
-    # peek at bounds through finish internals: run finish but keep bounds
-    import strique_tpu.detect.counter as counter_mod
-    # simplest: replicate the bounds decode path
-    res2 = rc2.detect_finish(st2)
-    assert res2[0][0] == n0, (res2[0][0], n0)
-    pe = res2[0][4]
-    sb = pe + res2[0][5]
-    # bounds tuple isn't returned; recover pb/se from a private rerun
-    st3 = rc2.detect_submit("c9orf72", [raw], "-")
-    import jax.numpy as jnp
-    from strique_tpu.ops import align as align_ops
-    packed = np.asarray(st3["packed"])
-    mp_, ms_ = len(tc.prefix_ext), len(tc.suffix_ext)
-    n_sig = int(st3["n_sigs"][0])
-    o = 1
-    pre_jpos = packed[:, o:o + mp_].astype(np.int64); o += mp_
-    pre_gap = packed[:, o:o + mp_] != 0.0; o += mp_ + 1
-    suf_jpos = packed[:, o:o + ms_].astype(np.int64); o += ms_
-    suf_gap = packed[:, o:o + ms_] != 0.0
-    pos_p = align_ops._nearest_positions(pre_gap[0], pre_jpos[0], n_sig)
-    pos_s = align_ops._nearest_positions(suf_gap[0], suf_jpos[0], n_sig)
-    trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
-    trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
-    pb = int(pos_p[trim_prefix])
-    se = int(pos_s[len(pos_s) - 1 - trim_suffix])
+    bounds, _, _ = rc2.decode_bounds(st2)
+    _, _, _, pb, pe, sb, se = bounds[0]
     print(f"bounds: pb={pb} pe={pe} sb={sb} se={se} seg_len={se-pb}")
 
     seg = flt[pb:se].astype(np.float64)

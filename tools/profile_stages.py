@@ -3,6 +3,8 @@ pack+D2H / host decode) to direct optimization effort.
 
 Timing on axon: only D2H synchronizes, so each device stage is timed by
 materializing its output via np.asarray after a warmup, interleaved.
+Stages are re-jitted standalone here; the production path fuses them
+into one dispatch (counter._pipeline), timed as `pipeline_total`.
 """
 import os
 import sys
@@ -25,12 +27,13 @@ def main():
                       os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/strique_tpu_cache"))
     import jax.numpy as jnp
 
-    from strique_tpu.detect.counter import (RepeatCounter, _bounds_jit, _pack_jit,
-                                            _roll_jit, _unpack_upload_jit,
-                                            _LUT_LEVELS, pad_bucket)
+    from strique_tpu.detect.counter import (RepeatCounter, _buf_bytes,
+                                            _unpack_upload, _LUT_LEVELS, pad_bucket)
+    from strique_tpu.detect.packed import pack_results
     from strique_tpu import native as native_lib
     from strique_tpu.ops import align as align_ops
     from strique_tpu.ops.align_pallas import CHUNK as ALIGN_CHUNK
+    from strique_tpu.ops.bounds import segment_bounds
     from strique_tpu.ops.prep import model_const
     from strique_tpu.ops.viterbi_pallas import CHUNK_T, viterbi_pallas_batch
     from strique_tpu.pore_model import PoreModel
@@ -58,7 +61,7 @@ def main():
     print(f"B={batch} npad={npad} read_len={max_len}")
 
     def t_host_prep():
-        buf = np.zeros((batch, 4 * npad + 4 * _LUT_LEVELS + npad), dtype=np.uint8)
+        buf = np.zeros((batch, _buf_bytes(npad)), dtype=np.uint8)
         for i, raw in enumerate(raws):
             n = len(raw)
             row = buf[i]
@@ -69,10 +72,10 @@ def main():
         return buf
 
     buf = t_host_prep()
+    unpack_jit = jax.jit(_unpack_upload)
 
     def t_upload():
-        m, f = _unpack_upload_jit(jnp.asarray(buf), npad)
-        return m, f
+        return unpack_jit(jnp.asarray(buf))
 
     morph_dev, flt_dev = t_upload()
     n_dev = jnp.asarray(n_sigs)
@@ -85,14 +88,18 @@ def main():
     pre, suf = t_align()
     trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
     trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
+    bounds_jit = jax.jit(segment_bounds, static_argnames=("trim_prefix", "trim_suffix"))
 
     def t_bounds():
-        return _bounds_jit(pre, suf, n_dev, trim_prefix, trim_suffix)
+        return bounds_jit({k: pre[k] for k in ("score", "is_gap", "jpos")},
+                          {k: suf[k] for k in ("score", "is_gap", "jpos")},
+                          n_dev, trim_prefix=trim_prefix, trim_suffix=trim_suffix)
 
     b = t_bounds()
+    roll_jit = jax.jit(lambda f, s: jax.vmap(lambda x, sh: jnp.roll(x, -sh))(f, s))
 
     def t_roll():
-        return _roll_jit(flt_dev, b["prefix_begin"])
+        return roll_jit(flt_dev, b["prefix_begin"])
 
     rolled = t_roll()
     ph = counter._padded_hmm(tc.repeat_hmm)
@@ -101,14 +108,21 @@ def main():
         return viterbi_pallas_batch(rolled, b["seg_len"], ph)
 
     _, paths = t_viterbi()
+    n_states = tc.repeat_hmm.n_states
+    pack_jit = jax.jit(lambda bb, pp: pack_results(bb, pp, n_states))
 
     def t_pack():
-        return _pack_jit(b, paths)
+        return pack_jit(b, paths)
 
     packed = t_pack()
 
     def t_d2h():
         return np.asarray(packed)
+
+    pipeline = counter._pipeline(tc, use_buf=True)
+
+    def t_pipeline_total():
+        return np.asarray(pipeline(jnp.asarray(buf), n_dev))
 
     def sync(x):
         # materialize a tiny reduction: forces execution on axon
@@ -126,6 +140,7 @@ def main():
         ("viterbi", t_viterbi, True),
         ("pack", t_pack, True),
         ("d2h_packed", t_d2h, False),
+        ("pipeline_total", t_pipeline_total, False),
     ]
     # warmup all
     for name, fn, dev in stages:
