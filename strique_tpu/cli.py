@@ -40,8 +40,12 @@ def cmd_count(argv) -> int:
     parser.add_argument("--mod_model", default=None, help="Base modification pore model")
     parser.add_argument("--config", help="Config file with HMM transition probabilities")
     parser.add_argument("--t", type=int, default=1, help="Host IO worker threads (fast5 reads; also per-read mode workers)")
-    parser.add_argument("--batch", type=int, default=8,
-                        help="Reads per batched device invocation (1 disables batching)")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="Reads per batched device invocation (1 disables batching; "
+                             "default: 32 on TPU, 8 elsewhere, x data-parallel degree)")
+    parser.add_argument("--devices", default="auto",
+                        help="Data-parallel device count: 'auto' shards read batches over "
+                             "all local accelerator devices; an integer caps it; 1 runs single-device")
     parser.add_argument("--resume", action="store_true",
                         help="Append to --out, skipping read IDs already counted")
     parser.add_argument("--profile", default=None, metavar="DIR",
@@ -57,25 +61,56 @@ def cmd_count(argv) -> int:
             log(f"Main: {desc} file does not exist.", LogLevel.Error)
             return 1
 
-    from .detect.detector import RepeatDetector
-    from .detect.writer import OutputWriter
-    from .parallel.dispatcher import run_pipeline
+    import jax
 
-    from .detect.writer import processed_ids
+    from .detect.detector import RepeatDetector
+    from .detect.writer import OutputWriter, processed_ids
+    from .parallel.dispatcher import run_pipeline
+    from .parallel.mesh import init_distributed, make_mesh
+
+    # multi-host: each process owns its local devices and a stride of the
+    # SAM stream; per-host TSV shards concatenate to the final output
+    # (same unordered-collector semantics as the reference,
+    # reference scripts/STRique.py:778-802)
+    rank = init_distributed()
+    world = jax.process_count()
+
+    if args.devices == "auto":
+        n_dev = len(jax.local_devices())
+    else:
+        n_dev = max(int(args.devices), 1)
+        n_dev = min(n_dev, len(jax.local_devices()))
+    mesh = None
+    if n_dev > 1:
+        mesh = make_mesh({"data": n_dev}, jax.local_devices()[:n_dev])
+        log(f"Main: Sharding read batches over {n_dev} {jax.default_backend()} devices.",
+            LogLevel.Info)
+    batch_size = args.batch
+    if batch_size is None:
+        batch_size = 32 if jax.default_backend() == "tpu" else 8
+    if mesh is not None and batch_size > 1:
+        batch_size = (batch_size + n_dev - 1) // n_dev * n_dev
+
+    out_path = args.out
+    if world > 1 and out_path:
+        out_path = f"{out_path}.part{rank}"
+        log(f"Main: Process {rank}/{world}; writing shard {out_path}.", LogLevel.Info)
 
     rd = RepeatDetector(config["repeat"], args.model, args.f5Index,
                         mod_model_file=args.mod_model, align_config=config["align"],
-                        hmm_config=config["HMM"])
-    done = processed_ids(args.out) if args.resume else set()
-    ow = OutputWriter(args.out, append=args.resume)
+                        hmm_config=config["HMM"], mesh=mesh)
+    done = processed_ids(out_path) if args.resume else set()
+    ow = OutputWriter(out_path, append=args.resume)
     if done:
         log(f"Main: Resuming; {len(done)} reads already counted.", LogLevel.Info)
 
     def sam_lines():
         stream = open(args.algn, "r") if args.algn else sys.stdin
         try:
-            for line in stream:
+            for i, line in enumerate(stream):
                 if line.startswith("@"):
+                    continue
+                if world > 1 and i % world != rank:
                     continue
                 if done and line.split("\t", 1)[0] in done:
                     continue
@@ -85,13 +120,9 @@ def cmd_count(argv) -> int:
                 stream.close()
 
     if args.profile:
-        import jax
-
         jax.profiler.start_trace(args.profile)
-    n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t, batch_size=args.batch)
+    n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t, batch_size=batch_size)
     if args.profile:
-        import jax
-
         jax.profiler.stop_trace()
     log(f"Main: Processed {n} alignments.", LogLevel.Info)
     ulog.close()

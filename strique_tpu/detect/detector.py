@@ -18,9 +18,13 @@ from .counter import RepeatCounter
 class RepeatDetector:
     def __init__(self, repeat_config: dict, model_file: str, fast5_index_file: str,
                  mod_model_file: str | None = None, align_config: dict | None = None,
-                 hmm_config: dict | None = None):
+                 hmm_config: dict | None = None, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis;
+        read batches shard across its devices (the multi-chip replacement
+        for the reference's ``--t`` worker processes)."""
         self.counter = RepeatCounter(model_file, mod_model_file=mod_model_file,
-                                     align_config=align_config, hmm_config=hmm_config)
+                                     align_config=align_config, hmm_config=hmm_config,
+                                     mesh=mesh)
         self.repeat_loci = defaultdict(list)
         self.repeat_config = repeat_config
         self.is_init = False

@@ -53,9 +53,12 @@ def test_golden_count_pipeline(golden_dir):
     assert GOLDEN["ID"] in buf.getvalue()
 
     out = golden_dir / "counts.tsv"
+    # single device: this asserts numeric parity; mesh byte-identity to the
+    # single-device path is covered by test_cli_mesh (and the 1-read batch
+    # would pad to 7 dummy shards on the virtual 8-CPU mesh)
     rc = main(["count", str(fofn), MODEL, REPEAT_TSV,
                "--algn", os.path.join(DATA, "c9orf72.sam"),
-               "--config", PARAMS_JSON, "--out", str(out)])
+               "--config", PARAMS_JSON, "--out", str(out), "--devices", "1"])
     assert rc == 0
     lines = out.read_text().strip().split("\n")
     assert len(lines) == 2
