@@ -5,13 +5,15 @@ HMM Viterbi + decode) on synthetic noisy reads of ~23k samples with 100
 repeat units — the same per-read work the reference pipeline does
 (reference scripts/STRique.py:581-616) at a typical read scale.
 
-Baseline model (no published reference throughput exists; see
-BASELINE.md): the reference's per-read cost on this workload is estimated
-from its engines' characteristic rates — SeqAn AVX2 affine DP ~2.5e8
-cells/s and pomegranate Cython Viterbi ~1e8 edge-ops/s on a desktop CPU
-core — giving ~0.4 s/read, i.e. ~2.5 reads/s single-threaded.
+Baseline (no published reference throughput exists; see BASELINE.md):
+MEASURED on this host by tools/measure_baseline.py — the repo's own
+single-threaded CPU implementations of the reference's engines on this
+exact workload, with conservative credit factors for SeqAn AVX2 and
+pomegranate's edge sparsity (BASELINE_MEASURED.json, 2.78 reads/s).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} plus a
+"ragged_reads_per_sec" field measured on a realistic mixed-length
+read stream (multiple pad buckets, partial batches, both strands).
 """
 import json
 import os
@@ -22,7 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_READS_PER_SEC = 2.5
+def _baseline_reads_per_sec() -> float:
+    """Measured reference-engine baseline (tools/measure_baseline.py)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(path) as fp:
+            return float(json.load(fp)["reference_reads_per_sec_derived"])
+    except (OSError, KeyError, ValueError):
+        return 2.78
+
+
+BASELINE_READS_PER_SEC = _baseline_reads_per_sec()
 
 MODEL_FILE = "/root/reference/models/r9_4_450bps.model"
 PREFIX = ("CGGCAGCCGAACCCCAAACAGCCACCCGCCAGGATGCCGCCTCCTCACTCACCCACTCGCCACCGCCTGCGCC"
@@ -77,15 +89,62 @@ def main():
     dt = time.perf_counter() - t0
 
     rps = n_reads / dt
+    # ragged phase: realistic stream — mixed read lengths spanning several
+    # pad buckets, mixed repeat counts (different Viterbi segment buckets),
+    # both strands (separate device pipelines), partial batches
+    n_ragged = int(os.environ.get("BENCH_RAGGED_READS", "96"))
+    from strique_tpu.detect.counter import reverse_complement
+
+    ragged = []
+    for i in range(n_ragged):
+        nrep = (50, 100, 150)[i % 3]
+        bb_n = int(rng.choice((500, 2000, 6000)))
+        bb = "".join(rng.choice(list("ACTG"), max(2 * bb_n, 2)))
+        rseq = bb[:bb_n] + PREFIX + "GGCCCC" * nrep + SUFFIX + bb[-bb_n:]
+        strand = "+" if i % 2 == 0 else "-"
+        if strand == "-":
+            rseq = reverse_complement(rseq)
+        ragged.append((strand, nrep, pm.generate_signal(rseq, samples=8, noise=True, rng=rng)))
+    import random
+
+    random.Random(5).shuffle(ragged)
+
+    def ragged_pass():
+        ok = 0
+        pending = []
+        for b0 in range(0, n_ragged, batch):
+            window = ragged[b0:b0 + batch]
+            for strand in "+-":
+                grp = [(nrep, sig) for s, nrep, sig in window if s == strand]
+                if grp:
+                    st = counter.detect_submit("c9orf72", [s for _, s in grp], strand)
+                    pending.append(([n for n, _ in grp], st))
+            while len(pending) > 2:
+                exp, st = pending.pop(0)
+                ok += sum(int(r[0] == e) for r, e in zip(counter.detect_finish(st), exp))
+        for exp, st in pending:
+            ok += sum(int(r[0] == e) for r, e in zip(counter.detect_finish(st), exp))
+        return ok
+
+    ragged_pass()  # compile the bucket set + warm
+    t0 = time.perf_counter()
+    ragged_ok = ragged_pass()
+    dt_ragged = time.perf_counter() - t0
+    ragged_rps = n_ragged / dt_ragged
+
     result = {
         "metric": "reads_per_sec",
         "value": round(rps, 3),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+        "ragged_reads_per_sec": round(ragged_rps, 3),
+        "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
     }
     print(json.dumps(result))
     print(f"# {n_reads} reads in {dt:.2f}s; count accuracy {correct}/{n_reads}; "
           f"read length {max_len}", file=sys.stderr)
+    print(f"# ragged: {n_ragged} reads in {dt_ragged:.2f}s; accuracy {ragged_ok}/{n_ragged}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -92,7 +92,8 @@ def main():
         semiglobal_align_np(morph_n.astype(np.float64), t_pre.astype(np.float64), params)
         stages["align_oracle_np"] += time.perf_counter() - t0
 
-        begin, end = int(pos_p[len(t_pre) - 300]), int(pos_s[-1] - 0)
+        # 50bp-core trim: ext template 870 samples, core 45 kmers x 6 = 270
+        begin, end = int(pos_p[len(t_pre) - 270]), int(pos_s[len(pos_s) - 1 - (len(t_suf) - 270)])
         seg = np.clip(flt_n[max(begin, 0):end], pm.model_min + 0.5, pm.model_max - 0.5)
         t0 = time.perf_counter()
         viterbi_np(seg, *hmm)
