@@ -1,0 +1,142 @@
+"""On-TPU kernel parity tier: compiled Mosaic kernels on the real chip.
+
+The default CPU tier runs the Pallas kernels in interpreter mode, which
+pins the math but not the Mosaic compilation/numerics.  These tests run
+the COMPILED kernels on real TPU hardware and assert parity against the
+XLA scan kernels on the same device:
+
+    STRIQUE_TEST_TPU=1 python -m pytest tests/ -m tpu -q
+
+Red on any Mosaic numerics or layout regression.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from strique_tpu.ops.reference import AlignParams
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() != "tpu", reason="needs a real TPU backend"),
+]
+
+MODEL = "/root/reference/models/r9_4_450bps.model"
+
+
+@pytest.fixture(scope="module")
+def c9_assets():
+    from strique_tpu.hmm.models import build_flanked_repeat
+    from strique_tpu.pore_model import PoreModel
+
+    pm = PoreModel(MODEL)
+    row = open("/root/reference/configs/repeat_config.tsv").read().strip().split("\n")[1].split()
+    repeat, prefix, suffix = row[4], row[5], row[6]
+    chm = build_flanked_repeat(repeat, prefix[-50:], suffix[:50], pm)
+    return pm, chm, repeat, prefix, suffix
+
+
+def test_align_pallas_on_chip_matches_scan():
+    from strique_tpu.ops.align import align_batch
+
+    rng = np.random.default_rng(0)
+    B, N, M = 8, 2048, 40
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(4):
+        st = 200 + i * 60
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = rng.integers(N - 600, N - 100, B).astype(np.int32)
+    ref = align_batch(signals, na, template, p, impl="xla")
+    got = align_batch(signals, na, template, p, impl="pallas")
+    np.testing.assert_allclose(np.asarray(ref["score"]), np.asarray(got["score"]), atol=1e-2)
+    np.testing.assert_array_equal(np.asarray(ref["j_end"]), np.asarray(got["j_end"]))
+    np.testing.assert_array_equal(np.asarray(ref["is_gap"]), np.asarray(got["is_gap"]))
+    np.testing.assert_array_equal(np.asarray(ref["jpos"]), np.asarray(got["jpos"]))
+
+
+def test_viterbi_pallas_on_chip_real_hmm(c9_assets):
+    from strique_tpu.ops.viterbi import viterbi_scan
+    from strique_tpu.ops.viterbi_pallas import CHUNK_T, PaddedHMM, viterbi_pallas_batch
+
+    pm, chm, repeat, prefix, suffix = c9_assets
+    ph = PaddedHMM(chm)
+    seq = prefix[-50:] + repeat * 12 + suffix[:50]
+    sig = pm.generate_signal(seq, samples=6).astype(np.float32)
+    T = len(sig)
+    tpad = (T + CHUNK_T - 1) // CHUNK_T * CHUNK_T
+    obs = np.zeros((2, tpad), np.float32)
+    obs[0, :T] = sig
+    obs[1, : T - 48] = sig[:-48]
+    lens = np.array([T, T - 48], np.int32)
+    dev = (jnp.asarray(chm.log_start, jnp.float32), jnp.asarray(chm.log_trans, jnp.float32),
+           jnp.asarray(chm.log_end, jnp.float32), jnp.asarray(chm.mu, jnp.float32),
+           jnp.asarray(chm.sigma, jnp.float32), jnp.asarray(chm.is_uniform),
+           jnp.asarray(chm.log_uni, jnp.float32))
+    logps, paths = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens), ph)
+    for k in range(2):
+        lp_ref, p_ref = viterbi_scan(jnp.asarray(obs[k]), jnp.int32(lens[k]), *dev)
+        assert np.isclose(float(logps[k]), float(lp_ref), rtol=1e-4), f"read {k}"
+        np.testing.assert_array_equal(np.asarray(paths[k])[: lens[k]],
+                                      np.asarray(p_ref)[: lens[k]], err_msg=f"read {k}")
+
+    from strique_tpu.ops.viterbi import count_repeats
+
+    assert count_repeats(np.asarray(paths[0]), int(lens[0]), chm) == 12
+
+
+def test_fused_vs_two_phase_on_chip(c9_assets):
+    """The fused single-D2H tail and the two-phase host-bounds path must
+    produce identical detection rows on the compiled chip kernels."""
+    from strique_tpu.detect.counter import RepeatCounter
+
+    pm, chm, repeat, prefix, suffix = c9_assets
+    rng = np.random.default_rng(5)
+    backbone = "".join(rng.choice(list("ACTG"), 600))
+    sigs = []
+    expected = []
+    for n_rep in (7, 12, 19, 26):
+        seq = backbone[:300] + prefix + repeat * n_rep + suffix + backbone[-300:]
+        sigs.append(pm.generate_signal(seq, samples=8, noise=True, rng=rng))
+        expected.append(n_rep)
+
+    fused = RepeatCounter(MODEL)
+    fused.add_target("c9", repeat, prefix, suffix)
+    assert fused.fused
+    res_fused = fused.detect_many("c9", sigs, "+")
+
+    two_phase = RepeatCounter(MODEL)
+    two_phase.fused = False
+    two_phase.add_target("c9", repeat, prefix, suffix)
+    res_two = two_phase.detect_many("c9", sigs, "+")
+
+    for e, rf, rt in zip(expected, res_fused, res_two):
+        assert rf[0] == e, f"fused count {rf[0]} != {e}"
+        assert rt[0] == e
+        assert rf[4:6] == rt[4:6]  # offset/ticks
+        assert abs(rf[1] - rt[1]) < 1e-4 and abs(rf[2] - rt[2]) < 1e-4
+        assert np.isclose(rf[3], rt[3], rtol=1e-6)
+
+
+def test_counts_exact_on_chip(c9_assets):
+    """End-to-end exactness on the production TPU path (Pallas align +
+    Pallas Viterbi + fused tail), both strands."""
+    from strique_tpu.detect.counter import RepeatCounter, reverse_complement
+
+    pm, chm, repeat, prefix, suffix = c9_assets
+    counter = RepeatCounter(MODEL)
+    counter.add_target("c9", repeat, prefix, suffix)
+    rng = np.random.default_rng(11)
+    backbone = "".join(rng.choice(list("ACTG"), 500))
+    for strand in "+-":
+        sigs, expected = [], []
+        for n_rep in (9, 15, 22):
+            seq = backbone[:250] + prefix + repeat * n_rep + suffix + backbone[-250:]
+            if strand == "-":
+                seq = reverse_complement(seq)
+            sigs.append(pm.generate_signal(seq, samples=8))
+            expected.append(n_rep)
+        got = [r[0] for r in counter.detect_many("c9", sigs, strand)]
+        assert got == expected, f"strand {strand}: {got} != {expected}"
