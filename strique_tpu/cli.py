@@ -129,8 +129,66 @@ def cmd_count(argv) -> int:
     return 0
 
 
+def _iter_count_rows(counts_path):
+    """Yield parsed rows of a count TSV (path or stdin)."""
+    stream = open(counts_path, "r") if counts_path else sys.stdin
+    try:
+        for line in stream:
+            cols = line.rstrip("\n").split("\t")
+            if len(cols) < 9 or cols[0] == "ID":
+                continue
+            yield {"id": cols[0], "target": cols[1], "strand": cols[2],
+                   "count": cols[3], "score_prefix": float(cols[4]),
+                   "score_suffix": float(cols[5]), "offset": int(cols[7]),
+                   "ticks": int(cols[8])}
+    finally:
+        if counts_path:
+            stream.close()
+
+
+def _render_read_figure(plt, signal, row, zoom: int, margin_frac: float):
+    """One figure per counted read: an overview with the STR span shaded,
+    plus boundary close-ups of the prefix and suffix transitions."""
+    import numpy as np
+
+    accent, base, marker = "#b5543c", "#555555", "#2b6a99"
+    begin, span = row["offset"], row["ticks"]
+    end = begin + span
+    margin = int(span * margin_frac)
+    view = slice(max(0, begin - margin), min(len(signal), end + margin))
+
+    fig = plt.figure(layout="constrained")
+    grid = fig.add_gridspec(2, 2, height_ratios=(3, 2))
+
+    overview = fig.add_subplot(grid[0, :])
+    x = np.arange(view.start, view.stop)
+    overview.plot(x, signal[view], color=base, linewidth=0.4)
+    overview.axvspan(begin, end, color=accent, alpha=0.15, label=f"STR x{row['count']}")
+    overview.set_title(f"{row['target']} ({row['strand']}) | read {row['id']} | "
+                       f"{row['count']} repeat units over {span} samples")
+    overview.set_xlabel("sample")
+    overview.set_ylabel("z-score")
+    overview.legend(loc="upper right")
+
+    for col, (edge, side, score) in enumerate((
+            (begin, "prefix", row["score_prefix"]),
+            (end, "suffix", row["score_suffix"]))):
+        ax = fig.add_subplot(grid[1, col])
+        lo, hi = max(0, edge - zoom), min(len(signal), edge + zoom)
+        xs = np.arange(lo, hi)
+        inside = (xs >= begin) & (xs < end)
+        ax.plot(xs[~inside], signal[lo:hi][~inside], ".", color=base, markersize=1)
+        ax.plot(xs[inside], signal[lo:hi][inside], ".", color=marker, markersize=1)
+        ax.axvline(edge, color=accent, linewidth=1.0)
+        ax.set_title(f"{side} boundary | alignment score {score:.2f}")
+        ax.set_xlabel("sample")
+    return fig
+
+
 def cmd_plot(argv) -> int:
-    """Signal plots over counted STR expansions (reference STRique.py:948-1024)."""
+    """Per-read signal figures for counted STR expansions (the role of the
+    reference's plot subcommand, reference scripts/STRique.py:948-1024;
+    rendering is this framework's own design)."""
     parser = argparse.ArgumentParser(description="Signal plots over STR expansions")
     parser.add_argument("f5Index", help="Fast5 index")
     parser.add_argument("--counts", default=None, help="Count TSV from 'count', stdin if not given")
@@ -140,8 +198,8 @@ def cmd_plot(argv) -> int:
     parser.add_argument("--height", default=9, type=int)
     parser.add_argument("--dpi", default=80, type=int)
     parser.add_argument("--extension", type=float, default=0.1,
-                        help="Extension as fraction of repeat signal around STR region")
-    parser.add_argument("--zoom", type=int, default=500, help="Region around prefix/suffix to plot")
+                        help="Overview margin as a fraction of the STR span")
+    parser.add_argument("--zoom", type=int, default=500, help="Samples around each STR boundary")
     parser.add_argument("--log_level", default="warning",
                         choices=["error", "warning", "info", "debug"])
     args = parser.parse_args(argv)
@@ -162,59 +220,22 @@ def cmd_plot(argv) -> int:
     f5 = Fast5Index(args.f5Index)
     if args.output:
         os.makedirs(args.output, exist_ok=True)
+    plt.rcParams.update({"figure.figsize": (args.width, args.height),
+                         "figure.dpi": args.dpi})
 
-    def tsv_iter():
-        stream = open(args.counts, "r") if args.counts else sys.stdin
+    for row in _iter_count_rows(args.counts):
         try:
-            for line in stream:
-                if not line.startswith("ID"):
-                    yield line.strip().split("\t")
-        finally:
-            if args.counts:
-                stream.close()
-
-    for record in tsv_iter():
-        ID, target, strand, count, score_prefix, score_suffix, _, offset, ticks = record[:9]
-        offset, ticks = int(offset), int(ticks)
-        score_prefix, score_suffix = float(score_prefix), float(score_suffix)
-        try:
-            raw = f5.get_raw(ID)
+            raw = f5.get_raw(row["id"])
         except RuntimeError:
-            raw = None
-        if raw is None:
-            log(f"Plot: No fast5 for ID {ID}", LogLevel.Warning)
+            log(f"Plot: no indexed fast5 for read {row['id']}, skipped", LogLevel.Warning)
             continue
         flt = medfilt3(raw.astype(np.float64))
         flt = (flt - np.median(flt)) / np.std(flt)
-        pre_ext = max(0, offset - int(ticks * args.extension))
-        suf_ext = min(len(flt), offset + ticks + int(ticks * args.extension))
-        pre_b = max(offset - args.zoom, 0)
-        pre_e = pre_b + args.zoom * 2
-        suf_b = offset + ticks - args.zoom
-        suf_e = min(len(flt), suf_b + args.zoom * 2)
-        plt.figure(figsize=(args.width, args.height), dpi=args.dpi, facecolor="w", edgecolor="k")
-        plt.subplot(2, 1, 1)
-        plt.plot(flt[pre_ext:suf_ext], "k-", linewidth=0.5, label="genome")
-        plt.plot(np.arange(ticks) + (offset - pre_ext), flt[offset:offset + ticks],
-                 "b-", linewidth=1.0, label="STR")
-        plt.legend()
-        plt.title(f"Read {ID} with {count} repeats")
-        plt.subplot(2, 2, 3)
-        plt.plot(flt[pre_b:pre_e], "k-", label="prefix")
-        plt.plot(np.arange(args.zoom, 2 * args.zoom), flt[pre_b + args.zoom:pre_e], "b-")
-        plt.axvline(args.zoom, color="red", label="STR begin")
-        plt.legend()
-        plt.title(f"Prefix region with score {score_prefix:.2f}")
-        plt.subplot(2, 2, 4)
-        plt.plot(flt[suf_b:suf_e], "k-", label="suffix")
-        plt.plot(flt[suf_b:suf_e - args.zoom], "b-")
-        plt.axvline(args.zoom, color="red", label="STR end")
-        plt.legend()
-        plt.title(f"Suffix region with score {score_suffix:.2f}")
-        plt.tight_layout()
+        fig = _render_read_figure(plt, flt, row, args.zoom, args.extension)
         if args.output:
-            plt.savefig(os.path.join(args.output, "_".join([target, count, ID]) + "." + args.format))
-            plt.close()
+            name = f"{row['id']}_{row['target']}_{row['count']}.{args.format}"
+            fig.savefig(os.path.join(args.output, name))
+            plt.close(fig)
         else:
             plt.show()
     ulog.close()

@@ -1,258 +1,328 @@
 """Fast5 raw-signal store: indexing, retrieval, extraction, in-place edits.
 
-Re-implements the reference ``fast5Index`` (reference
-STRique_lib/fast5Index.py:45-245) directly on h5py — the ont_fast5_api
-dependency is replaced by a minimal native understanding of the two
-container layouts:
+Fills the role of the reference's ``fast5Index`` module (reference
+STRique_lib/fast5Index.py:45-245) with a first-party design on h5py —
+no ont_fast5_api.  Three container layouts are understood:
 
-  * single-read fast5: ``/Raw/**/Signal`` dataset, ``read_id`` attr on
-    the Signal's parent group;
-  * multi-read ("bulk") fast5: one top-level group per read (each with
-    the single-read layout nested under it);
-  * tar archives of single-read fast5 files.
+  * **single** — one read per file: a ``Signal`` dataset somewhere under
+    ``/Raw``, with the read ID stored as a ``read_id`` attribute on the
+    dataset's parent group;
+  * **bulk** — one top-level group per read, each nesting the single
+    layout;
+  * **tar** — a tar archive of single-read fast5 files.
 
-Index lines are ``relpath[/read-group]\tread_id`` with paths relative to
-the indexed directory, identical to the reference format.
+Everything routes through :class:`Locator`, a parsed form of one index
+entry.  The on-disk index format is the reference's (``container[/member]
+<TAB> read_id`` with container paths relative to the index file's
+directory), so existing STRique indices load unchanged.
 """
 from __future__ import annotations
 
 import glob
 import os
-import re
 import shutil
-import sys
 import tarfile
 import tempfile
+from collections import defaultdict
+from dataclasses import dataclass
 
 import h5py
 import numpy as np
 
-_SPLIT_RE = re.compile(r"(\.fast5|\.tar)\/")
+from ..utils.logging import LogLevel, log
+
+SINGLE, BULK, TAR = "single", "bulk", "tar"
 
 
-def _find_signal(group: h5py.Group) -> str | None:
-    """Relative path of the Signal dataset below ``group`` (reference :64)."""
-    return group.visit(lambda name: name if "Signal" in name else None)
+# ---------------------------------------------------------------------------
+# HDF5 layout helpers
+# ---------------------------------------------------------------------------
+
+def _signal_path(group: h5py.Group) -> str:
+    """Path of the Signal dataset below ``group`` (first match wins)."""
+    hit = group.visit(lambda name: name if "Signal" in name else None)
+    if hit is None:
+        raise KeyError(f"no Signal dataset under {group.name}")
+    return hit
 
 
-def is_multi_read(f5_file: str) -> bool:
-    """True for multi-read (bulk) fast5 layout."""
-    with h5py.File(f5_file, "r") as f5:
-        if "Raw" in f5:
-            return False
-        return any(isinstance(f5[k], h5py.Group) and "Raw" in f5[k] for k in f5)
+def _decode_attr(value) -> str:
+    return value.decode() if isinstance(value, bytes) else str(value)
+
+
+def _raw_group_id(h5: h5py.File | h5py.Group, base: str = "") -> str:
+    """read_id attribute of the group holding the Signal dataset."""
+    raw = h5[f"{base}/Raw" if base else "/Raw"]
+    parent = _signal_path(raw).rpartition("/")[0]
+    holder = raw[parent] if parent else raw
+    return _decode_attr(holder.attrs["read_id"])
 
 
 def read_id_single(f5_file: str) -> str:
-    """Read ID of a single-read fast5 (reference :62-65)."""
-    with h5py.File(f5_file, "r") as f5:
-        s = _find_signal(f5["/Raw/"])
-        rid = f5["/Raw/" + s.rpartition("/")[0]].attrs["read_id"]
-        return rid.decode() if isinstance(rid, bytes) else str(rid)
+    """Read ID of a single-read fast5."""
+    with h5py.File(f5_file, "r") as h5:
+        return _raw_group_id(h5)
 
 
 def read_ids_multi(f5_file: str) -> list[tuple[str, str]]:
-    """(group, read ID) pairs of a multi-read fast5 (reference :67-74)."""
-    out = []
-    with h5py.File(f5_file, "r") as f5:
-        for group in f5:
-            s = _find_signal(f5[group + "/Raw/"])
-            rid = f5[group + "/Raw/" + s.rpartition("/")[0]].attrs["read_id"]
-            out.append((group, rid.decode() if isinstance(rid, bytes) else str(rid)))
-    return out
+    """(group name, read ID) pairs of a bulk fast5."""
+    with h5py.File(f5_file, "r") as h5:
+        return [(name, _raw_group_id(h5, name)) for name in h5]
+
+
+def is_multi_read(f5_file: str) -> bool:
+    """True when the file uses the bulk (group-per-read) layout."""
+    with h5py.File(f5_file, "r") as h5:
+        if "Raw" in h5:
+            return False
+        return any(isinstance(h5[name], h5py.Group) and "Raw" in h5[name] for name in h5)
+
+
+# ---------------------------------------------------------------------------
+# index entries
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Locator:
+    """Parsed index entry: which container holds a read, and where."""
+
+    kind: str        # SINGLE | BULK | TAR
+    container: str   # container file path (relative to the index dir)
+    member: str = "" # bulk group name / tar member path
+
+    @classmethod
+    def parse(cls, entry: str) -> "Locator":
+        hits = [(entry.find(ext), ext, kind)
+                for ext, kind in ((".fast5/", BULK), (".tar/", TAR))]
+        hits = [h for h in hits if h[0] >= 0]
+        if not hits:
+            return cls(SINGLE, entry)
+        cut, ext, kind = min(hits)  # earliest container suffix in the path
+        split = cut + len(ext) - 1
+        return cls(kind, entry[:split], entry[split + 1 :])
+
+
+def _candidate_files(root: str, recursive: bool) -> list[str]:
+    """Container files to index below ``root`` (or ``root`` itself)."""
+    if os.path.isfile(root):
+        return [root]
+    if recursive:
+        return [os.path.join(dirpath, name)
+                for dirpath, _, names in os.walk(root)
+                for name in names if name.endswith((".fast5", ".tar"))]
+    found = []
+    for pattern in ("*.fast5", "*.tar"):
+        found.extend(glob.glob(os.path.join(root, pattern)))
+    return found
 
 
 def index(input_path: str, recursive: bool = False, output_prefix: str = "",
           tmp_prefix: str | None = None):
-    """Yield ``path[\tgroup]\tread_id`` index lines (reference :137-179)."""
+    """Yield ``container[/member]\tread_id`` lines for every read found.
+
+    Unreadable files are reported and skipped so one corrupt fast5 never
+    aborts an indexing run.
+    """
     if tmp_prefix and not os.path.exists(tmp_prefix):
         os.makedirs(tmp_prefix)
-    input_files = []
-    if os.path.isfile(input_path):
-        input_files.append(input_path)
-    elif recursive:
-        input_files.extend(
-            os.path.join(dirpath, f)
-            for dirpath, _, files in os.walk(input_path)
-            for f in files if f.endswith(".fast5") or f.endswith(".tar"))
-    else:
-        input_files.extend(glob.glob(os.path.join(input_path, "*.fast5")))
-        input_files.extend(glob.glob(os.path.join(input_path, "*.tar")))
-    for input_file in input_files:
-        input_relative = os.path.normpath(os.path.join(
+    for path in _candidate_files(input_path, recursive):
+        rel = os.path.normpath(os.path.join(
             output_prefix,
-            os.path.dirname(os.path.relpath(input_file, start=input_path)),
-            os.path.basename(input_file)))
-        if input_file.endswith(".tar"):
-            with tempfile.TemporaryDirectory(prefix=tmp_prefix) as tmpdirname, tarfile.open(input_file) as fp_tar:
-                fp_tar.extractall(path=tmpdirname, filter="data")
-                f5files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmpdirname)
-                           for f in fs if f.endswith(".fast5")]
-                for f5file in f5files:
-                    try:
-                        rid = read_id_single(f5file)
-                        yield "\t".join([os.path.normpath(os.path.join(
-                            input_relative, os.path.relpath(f5file, start=tmpdirname))), rid])
-                    except Exception:
-                        print(f"[ERROR] Failed to open {f5file}, skip file for indexing", file=sys.stderr)
-        elif is_multi_read(input_file):
-            for group, rid in read_ids_multi(input_file):
-                yield "\t".join((os.path.join(input_relative, group), rid))
-        else:
-            try:
-                rid = read_id_single(input_file)
-            except Exception:
-                print(f"[ERROR] Failed to open {input_file}, skip file for indexing", file=sys.stderr)
-                continue
-            yield "\t".join([input_relative, rid])
+            os.path.relpath(path, start=input_path) if not os.path.isfile(input_path)
+            else os.path.basename(path)))
+        try:
+            if path.endswith(".tar"):
+                yield from _index_tar(path, rel, tmp_prefix)
+            elif is_multi_read(path):
+                for group, rid in read_ids_multi(path):
+                    yield f"{os.path.join(rel, group)}\t{rid}"
+            else:
+                yield f"{rel}\t{read_id_single(path)}"
+        except Exception as exc:
+            log(f"Fast5: skipping unreadable container {path} ({exc})", LogLevel.Warning)
 
+
+def _index_tar(tar_path: str, rel: str, tmp_prefix: str | None):
+    """Index every single-read fast5 member of a tar archive."""
+    with tempfile.TemporaryDirectory(prefix=tmp_prefix) as staging, \
+            tarfile.open(tar_path) as archive:
+        archive.extractall(path=staging, filter="data")
+        for dirpath, _, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".fast5"):
+                    continue
+                extracted = os.path.join(dirpath, name)
+                member = os.path.relpath(extracted, start=staging)
+                try:
+                    rid = read_id_single(extracted)
+                except Exception as exc:
+                    log(f"Fast5: skipping unreadable tar member {member} of "
+                        f"{tar_path} ({exc})", LogLevel.Warning)
+                    continue
+                yield f"{os.path.normpath(os.path.join(rel, member))}\t{rid}"
+
+
+# ---------------------------------------------------------------------------
+# random access
+# ---------------------------------------------------------------------------
 
 class Fast5Index:
-    """Random access to indexed raw signals (reference :46-56, 220-245)."""
+    """Random access to indexed raw signals by read ID."""
 
     def __init__(self, index_file: str | None = None, tmp_prefix: str | None = None):
         self.index_file = index_file
         self.tmp_prefix = tmp_prefix
-        if index_file and not os.path.exists(index_file):
-            raise RuntimeError(f"[Error] Raw fast5 index file {index_file} not found.")
-        if index_file:
-            with open(index_file, "r") as fp:
-                self.index_dict = {rid: path for path, rid in
-                                   (line.split("\t") for line in fp.read().split("\n") if line)}
+        self._entries: dict[str, str] = {}
+        self.index_dir = ""
+        if index_file is not None:
+            if not os.path.exists(index_file):
+                raise RuntimeError(f"Fast5 index {index_file} does not exist")
             self.index_dir = os.path.dirname(index_file)
-        else:
-            self.index_dict = None
-            self.index_dir = None
+            with open(index_file, "r") as fp:
+                for line in fp:
+                    line = line.rstrip("\n")
+                    if line:
+                        entry, _, rid = line.rpartition("\t")
+                        self._entries[rid] = entry
 
-    def __contains__(self, ID: str) -> bool:
-        return bool(self.index_dict) and ID in self.index_dict
+    def __contains__(self, read_id: str) -> bool:
+        return read_id in self._entries
 
     def __len__(self) -> int:
-        return len(self.index_dict or {})
+        return len(self._entries)
 
-    def _get_raw(self, f5_file: str, offset: str = "") -> np.ndarray:
-        with h5py.File(f5_file, "r") as fp:
-            grp = fp[os.path.join(offset, "Raw")]
-            s = _find_signal(grp)
-            return fp[os.path.join(offset, "Raw", s)][()]
+    def _locate(self, read_id: str) -> Locator:
+        entry = self._entries.get(read_id)
+        if entry is None:
+            raise RuntimeError(f"read {read_id} is not in index {self.index_file}")
+        return Locator.parse(entry)
 
-    def _set_raw(self, f5_file: str, signal: np.ndarray, offset: str = "") -> None:
-        with h5py.File(f5_file, "r+") as fp:
-            grp = fp[os.path.join(offset, "Raw")]
-            s = _find_signal(grp)
-            path = os.path.join(offset, "Raw", s)
-            del fp[path]
-            ds = fp.create_dataset(path, data=signal)
-            ds.parent.attrs["duration"] = len(signal)
+    def _abs(self, container: str) -> str:
+        return os.path.join(self.index_dir, container)
 
-    def get_raw(self, ID: str) -> np.ndarray | None:
-        """Raw signal by read ID; routes on container type (reference :220-233)."""
-        assert self.index_dict is not None
-        if ID not in self.index_dict:
-            raise RuntimeError(f"[Error] Read {ID} not found in {self.index_file}.")
-        target = _SPLIT_RE.split(self.index_dict[ID])
-        if len(target) == 1:  # single-read file
-            return self._get_raw(os.path.join(self.index_dir, target[0]))
-        if target[1] == ".fast5":  # bulk fast5
-            return self._get_raw(os.path.join(self.index_dir, target[0] + ".fast5"), offset=target[2])
-        with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as tmpdirname, \
-                tarfile.open(os.path.join(self.index_dir, target[0] + ".tar")) as fp_tar:
-            member = fp_tar.getmember(target[2])
-            fp_tar.extract(member, path=tmpdirname, filter="data")
-            return self._get_raw(os.path.join(tmpdirname, member.name))
+    def get_raw(self, read_id: str) -> np.ndarray:
+        """Raw signal for one read, whichever container holds it."""
+        loc = self._locate(read_id)
+        if loc.kind == SINGLE:
+            return _read_signal(self._abs(loc.container))
+        if loc.kind == BULK:
+            return _read_signal(self._abs(loc.container), base=loc.member)
+        with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as staging, \
+                tarfile.open(self._abs(loc.container)) as archive:
+            member = archive.getmember(loc.member)
+            archive.extract(member, path=staging, filter="data")
+            return _read_signal(os.path.join(staging, member.name))
 
-    def set_raw(self, ID: str, signal: np.ndarray) -> None:
-        """Replace a read's raw signal in place (reference :235-245)."""
-        assert self.index_dict is not None
-        if ID not in self.index_dict:
-            raise RuntimeError(f"[Error] Read {ID} not found in {self.index_file}.")
-        target = _SPLIT_RE.split(self.index_dict[ID])
-        if len(target) == 1:
-            self._set_raw(os.path.join(self.index_dir, target[0]), signal)
-        elif target[1] == ".fast5":
-            self._set_raw(os.path.join(self.index_dir, target[0] + ".fast5"), signal, offset=target[2])
-        else:
-            raise RuntimeError("[Error] setting raw signal only supported in single and bulk fast5.")
+    def set_raw(self, read_id: str, signal: np.ndarray) -> None:
+        """Replace a read's stored signal in place (single/bulk only)."""
+        loc = self._locate(read_id)
+        if loc.kind == TAR:
+            raise RuntimeError("cannot rewrite a signal inside a tar archive; "
+                               "extract the read first")
+        _write_signal(self._abs(loc.container), signal,
+                      base=loc.member if loc.kind == BULK else "")
 
-    # -- extraction --------------------------------------------------------
-    def _copy_reads_to(self, read_ids, output: str) -> None:
-        """Materialize a subset of reads as single-read fast5s (reference :96-135)."""
-        import itertools
+    # -- extraction ----------------------------------------------------------
 
-        if not os.path.exists(output):
-            os.makedirs(output)
-        batch_id_files = [tuple([rid] + _SPLIT_RE.split(self.index_dict[rid]))
-                          for rid in read_ids if rid in self.index_dict]
-        batch_id_files.sort(key=lambda x: (x[1], x[2]) if len(x) > 2 else (x[1], ""))
-        for _, group in itertools.groupby(batch_id_files,
-                                          key=lambda x: (x[1], x[2]) if len(x) > 2 else (x[1], "")):
-            fofns = list(group)
-            if len(fofns[0]) == 2:
-                for rid, src in fofns:
-                    shutil.copy(os.path.join(self.index_dir, src), output)
+    def materialize_reads(self, read_ids, output: str) -> None:
+        """Write the given reads into ``output`` as single-read fast5s.
+
+        Reads are grouped by container so each bulk file / tar archive is
+        opened once.
+        """
+        os.makedirs(output, exist_ok=True)
+        by_container: dict[Locator, list[tuple[str, Locator]]] = defaultdict(list)
+        for rid in read_ids:
+            if rid not in self._entries:
+                log(f"Fast5: read {rid} not in index, skipped for extraction",
+                    LogLevel.Warning)
                 continue
-            _, batch_file, batch_ext, _ = fofns[0]
-            if batch_ext == ".tar":
-                members = {x[3] for x in fofns}
-                with tarfile.open(os.path.join(self.index_dir, batch_file + ".tar")) as fp_tar:
-                    for member in fp_tar.getmembers():
-                        if any(s in member.name for s in members):
+            loc = self._locate(rid)
+            by_container[(loc.kind, loc.container)].append((rid, loc))
+
+        for (kind, container), members in sorted(by_container.items()):
+            src = self._abs(container)
+            if kind == SINGLE:
+                for _, loc in members:
+                    shutil.copy(src, output)
+            elif kind == TAR:
+                wanted = {loc.member for _, loc in members}
+                with tarfile.open(src) as archive:
+                    for member in archive.getmembers():
+                        if any(w in member.name for w in wanted):
                             member.name = os.path.basename(member.name)
-                            fp_tar.extract(member, path=output, filter="data")
-            elif batch_ext == ".fast5":
-                groups = {x[3] for x in fofns}
-                src = os.path.join(self.index_dir, batch_file + ".fast5")
+                            archive.extract(member, path=output, filter="data")
+            else:  # BULK
                 with h5py.File(src, "r") as bulk:
-                    for grp in groups:
-                        rid = [x[0] for x in fofns if x[3] == grp][0]
-                        out_file = os.path.join(output, f"{rid}.fast5")
-                        multi_group_to_single(bulk, grp, out_file)
+                    for rid, loc in members:
+                        multi_group_to_single(
+                            bulk, loc.member, os.path.join(output, f"{rid}.fast5"))
 
     def extract(self, input_path: str, output: str, format: str = "single") -> None:
-        """Extract a batch / ID list into single or bulk fast5 (reference :181-218)."""
-        if not os.path.exists(output):
-            os.makedirs(output)
-        batch_name, batch_ext = os.path.splitext(input_path)
-        if batch_ext == ".tar":
-            if format in ("single", "lazy"):
-                with tarfile.open(input_path) as fp_tar:
-                    fp_tar.extractall(path=output, filter="data")
+        """Extract a batch (.tar / .fast5 / .txt ID list) into ``output``.
+
+        ``format``: 'single' (one fast5 per read), 'bulk' (one multi-read
+        fast5), or 'lazy' (keep the cheapest representation).
+        """
+        os.makedirs(output, exist_ok=True)
+        stem, ext = os.path.splitext(input_path)
+        as_bulk = format == "bulk"
+        if ext == ".tar":
+            if as_bulk:
+                with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as staging, \
+                        tarfile.open(input_path) as archive:
+                    archive.extractall(path=staging, filter="data")
+                    singles_to_multi(
+                        _candidate_files(staging, recursive=True),
+                        os.path.join(output, os.path.basename(stem) + ".fast5"))
             else:
-                with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as tmp, tarfile.open(input_path) as fp_tar:
-                    fp_tar.extractall(path=tmp, filter="data")
-                    f5files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp)
-                               for f in fs if f.endswith(".fast5")]
-                    singles_to_multi(f5files, os.path.join(output, os.path.basename(batch_name) + ".fast5"))
-        elif batch_ext == ".fast5":
-            if format in ("bulk", "lazy"):
-                shutil.copy(input_path, output)
-            else:
+                with tarfile.open(input_path) as archive:
+                    archive.extractall(path=output, filter="data")
+        elif ext == ".fast5":
+            if format == "single":
                 with h5py.File(input_path, "r") as bulk:
-                    for grp in bulk:
-                        rid = _group_read_id(bulk, grp)
-                        multi_group_to_single(bulk, grp, os.path.join(output, f"{rid}.fast5"))
-        elif batch_ext == ".txt":
-            if not self.index_dict:
-                raise RuntimeError("[Error] Extraction of reads from IDs without index file provided.")
-            with open(input_path, "r") as fp:
-                batch_ids = [x.strip() for x in fp.read().split("\n") if x]
-            if format in ("single", "lazy"):
-                self._copy_reads_to(batch_ids, output)
+                    for group in bulk:
+                        rid = _raw_group_id(bulk, group)
+                        multi_group_to_single(bulk, group,
+                                              os.path.join(output, f"{rid}.fast5"))
             else:
-                with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as tmp:
-                    self._copy_reads_to(batch_ids, tmp)
-                    f5files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp)
-                               for f in fs if f.endswith(".fast5")]
-                    singles_to_multi(f5files, os.path.join(output, os.path.basename(batch_name) + ".fast5"))
+                shutil.copy(input_path, output)
+        elif ext == ".txt":
+            if not self._entries:
+                raise RuntimeError("extracting by read ID requires an index file")
+            with open(input_path, "r") as fp:
+                ids = [line.strip() for line in fp if line.strip()]
+            if as_bulk:
+                with tempfile.TemporaryDirectory(prefix=self.tmp_prefix) as staging:
+                    self.materialize_reads(ids, staging)
+                    singles_to_multi(
+                        _candidate_files(staging, recursive=True),
+                        os.path.join(output, os.path.basename(stem) + ".fast5"))
+            else:
+                self.materialize_reads(ids, output)
         else:
-            raise RuntimeError(f"[ERROR] Raw fast5 batch extension {batch_ext} not supported.")
+            raise RuntimeError(f"unsupported batch extension {ext!r} "
+                               "(expected .tar, .fast5 or .txt)")
 
 
-def _group_read_id(bulk: h5py.File, group: str) -> str:
-    s = _find_signal(bulk[group + "/Raw/"])
-    rid = bulk[group + "/Raw/" + s.rpartition("/")[0]].attrs["read_id"]
-    return rid.decode() if isinstance(rid, bytes) else str(rid)
+def _read_signal(f5_file: str, base: str = "") -> np.ndarray:
+    with h5py.File(f5_file, "r") as h5:
+        raw = h5[f"{base}/Raw" if base else "Raw"]
+        return raw[_signal_path(raw)][()]
 
+
+def _write_signal(f5_file: str, signal: np.ndarray, base: str = "") -> None:
+    with h5py.File(f5_file, "r+") as h5:
+        raw = h5[f"{base}/Raw" if base else "Raw"]
+        rel = _signal_path(raw)
+        del raw[rel]
+        ds = raw.create_dataset(rel, data=signal)
+        ds.parent.attrs["duration"] = len(signal)
+
+
+# ---------------------------------------------------------------------------
+# container conversion
+# ---------------------------------------------------------------------------
 
 def multi_group_to_single(bulk: h5py.File, group: str, out_file: str) -> None:
     """Copy one bulk read group into a standalone single-read fast5."""
@@ -268,8 +338,7 @@ def singles_to_multi(f5_files, out_file: str) -> None:
     with h5py.File(out_file, "w") as out:
         for f5_file in f5_files:
             with h5py.File(f5_file, "r") as src:
-                rid = read_id_single(f5_file)
-                grp = out.create_group(f"read_{rid}")
+                grp = out.create_group(f"read_{read_id_single(f5_file)}")
                 for key in src:
                     src.copy(src[key], grp, name=key)
                 for k, v in src.attrs.items():
