@@ -73,50 +73,3 @@ def quantize_morph_np(flt: np.ndarray, median: float, mad: float) -> np.ndarray:
     m = (flt - median) / mad
     m = np.clip(m * 24.0 + 127.0, 0, 255)
     return np.floor(m)  # .astype(uint8) truncates; values are >= 0
-
-
-# ---------------------------------------------------------------------------
-# JAX device path (same math, float32)
-# ---------------------------------------------------------------------------
-
-def medfilt3_jnp(x):
-    import jax.numpy as jnp
-
-    left = jnp.concatenate([jnp.zeros((1,), x.dtype), x[:-1]])
-    right = jnp.concatenate([x[1:], jnp.zeros((1,), x.dtype)])
-    return jnp.maximum(jnp.minimum(left, x), jnp.minimum(jnp.maximum(left, x), right))
-
-
-def _window_reduce_jnp(x, left: int, right: int, op, pad_val):
-    import jax.numpy as jnp
-
-    n = x.shape[-1]
-    ext = jnp.concatenate([
-        jnp.full((left,), pad_val, x.dtype), x, jnp.full((right,), pad_val, x.dtype)
-    ])
-    out = ext[:n]
-    for off in range(1, left + right + 1):
-        out = op(out, jax_dynamic_slice(ext, off, n))
-    return out
-
-
-def jax_dynamic_slice(ext, off, n):
-    return ext[off : off + n]
-
-
-def erode_jnp(x, window: int = MORPH_WINDOW):
-    import jax.numpy as jnp
-
-    l = window // 2
-    return _window_reduce_jnp(x, l, window - 1 - l, jnp.minimum, jnp.inf)
-
-
-def dilate_jnp(x, window: int = MORPH_WINDOW):
-    import jax.numpy as jnp
-
-    l = window // 2
-    return _window_reduce_jnp(x, window - 1 - l, l, jnp.maximum, -jnp.inf)
-
-
-def open_close_jnp(x, window: int = MORPH_WINDOW):
-    return erode_jnp(dilate_jnp(dilate_jnp(erode_jnp(x, window), window), window), window)

@@ -70,29 +70,6 @@ def test_viterbi_pallas_matches_scan():
         np.testing.assert_array_equal(np.asarray(path)[:T], np.asarray(p_ref)[:T])
 
 
-def test_prep_matches_host():
-    import jax.numpy as jnp
-
-    from strique_tpu.ops import signal as sig_ops
-    from strique_tpu.ops.prep import model_const, preprocess
-    from strique_tpu.pore_model import PoreModel, mean_abs_dev
-
-    pm = PoreModel("/root/reference/models/r9_4_450bps.model")
-    rng = np.random.default_rng(3)
-    n, npad = 3000, 4096
-    raw = rng.integers(400, 800, n).astype(np.float64)
-    pad = np.zeros(npad, np.float32)
-    pad[:n] = raw
-    out = preprocess(jnp.asarray(pad), jnp.int32(n), model_const(pm))
-    flt = sig_ops.medfilt3(raw)
-    q = sig_ops.quantize_morph_np(flt, float(np.median(flt)), mean_abs_dev(flt))
-    morph = sig_ops.open_close_np(q)
-    np.testing.assert_allclose(np.asarray(out["morph_n"])[:n],
-                               pm.normalize2model(morph, mode="minmax"), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out["flt_n"])[:n],
-                               pm.normalize2model(flt, mode="minmax"), atol=1e-4)
-
-
 def test_viterbi_pallas_real_hmm():
     """Kernel parity on the real c9orf72 flanked HMM (uniform states,
     -inf structure, silent-eliminated long-range edges)."""

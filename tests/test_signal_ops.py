@@ -35,21 +35,3 @@ def test_erode_dilate_match_ndimage():
     fp = np.ones((1, 8), dtype=bool)
     np.testing.assert_array_equal(sig_ops.erode_np(x), ndi.grey_erosion(img, footprint=fp)[0])
     np.testing.assert_array_equal(sig_ops.dilate_np(x), ndi.grey_dilation(img, footprint=fp)[0])
-
-
-def test_jnp_paths_match_np():
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(3)
-    x = rng.integers(0, 256, 1024).astype(np.float32)
-    np.testing.assert_array_equal(np.asarray(sig_ops.medfilt3_jnp(jnp.asarray(x))),
-                                  sig_ops.medfilt3(x).astype(np.float32))
-    np.testing.assert_array_equal(np.asarray(sig_ops.open_close_jnp(jnp.asarray(x))),
-                                  sig_ops.open_close_np(x).astype(np.float32))
-
-
-def test_quantize_morph():
-    x = np.array([100.0, 200.0, 300.0])
-    q = sig_ops.quantize_morph_np(x, 200.0, 50.0)
-    exp = np.clip((x - 200.0) / 50.0 * 24 + 127, 0, 255).astype(np.uint8).astype(np.float64)
-    np.testing.assert_array_equal(q, exp)
