@@ -44,6 +44,9 @@ class CompiledHMM:
     is_uniform: np.ndarray  # (S,) bool
     log_uni: np.ndarray  # (S,)
     meta: dict = field(default_factory=dict)
+    # structure-factored form of log_trans (hmm/factor.py), or None when
+    # the graph does not decompose; kernels fall back to the dense matrix
+    factored: object | None = None
 
     @property
     def n_states(self) -> int:
@@ -82,7 +85,14 @@ class HmmGraph:
         self.edges.append((u, v, float(p)))
 
     # -- compilation -------------------------------------------------------
-    def compile(self, meta: dict | None = None) -> CompiledHMM:
+    def prepare(self):
+        """Normalized edge weights + graph orderings shared by
+        :meth:`compile` and the structure factorizer (hmm/factor.py).
+
+        Returns (logw, adj, silent, silent_set, topo, emitting, e_pos):
+        normalized log edge weights, adjacency, silent states (list/set),
+        their topological order, and the name-sorted emitting order.
+        """
         n = len(self.states)
         # out-edge normalization (pomegranate bake normalizes each state's
         # outgoing transition probabilities to sum to 1)
@@ -103,7 +113,6 @@ class HmmGraph:
         # pomegranate's name-sorted state table)
         emitting.sort(key=lambda i: self.states[i].name)
         e_pos = {s: k for k, s in enumerate(emitting)}
-        S = len(emitting)
 
         # adjacency
         adj: dict[int, list[tuple[int, float]]] = {}
@@ -132,6 +141,11 @@ class HmmGraph:
                         dq.append(v)
         if len(topo) != len(silent):
             raise ValueError("silent-state subgraph contains a cycle")
+        return logw, adj, silent, silent_set, topo, emitting, e_pos
+
+    def compile(self, meta: dict | None = None) -> CompiledHMM:
+        logw, adj, silent, silent_set, topo, emitting, e_pos = self.prepare()
+        S = len(emitting)
 
         log_trans = np.full((S, S), NEG_INF)
         log_start = np.full(S, NEG_INF)
@@ -185,7 +199,7 @@ class HmmGraph:
                 is_uniform[k] = True
                 log_uni[k] = -np.log(st.p1 - st.p0)
                 mu[k], sigma[k] = 0.5 * (st.p0 + st.p1), 1.0
-        return CompiledHMM(
+        chm = CompiledHMM(
             names=names,
             log_start=log_start,
             log_trans=log_trans,
@@ -196,3 +210,7 @@ class HmmGraph:
             log_uni=log_uni,
             meta=dict(meta or {}),
         )
+        from .factor import factorize
+
+        chm.factored = factorize(self, chm)
+        return chm

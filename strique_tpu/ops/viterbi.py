@@ -93,6 +93,140 @@ def viterbi_scan_batch(obs, t_actual, log_start, log_trans, log_end, mu, sigma,
         o, t, log_start, log_trans, log_end, mu, sigma, is_uniform, log_uni))(obs, t_actual)
 
 
+# ---------------------------------------------------------------------------
+# structure-factored kernel (hmm/factor.py)
+# ---------------------------------------------------------------------------
+
+def stage_factored(F, sp: int | None = None):
+    """FactoredHMM -> (static spec, weight arrays) for the jitted kernels.
+
+    -inf weights are clipped to the finite NEG sentinel and vectors are
+    zero-padded (with NEG) to ``sp`` lanes.  Returns
+    ``(spec, weights)`` where ``spec`` is a hashable nested tuple of
+    lane offsets — ``(diag_offs, ((entry_offs, exit_offs), ...))`` — and
+    ``weights`` is the flat tuple of float32 arrays consumed in spec
+    order: diag w's, then per chain its entry w's, ramp, exit w's.
+    """
+    sp = sp or F.n_states
+    neg = float(NEG)
+
+    def prep(w):
+        out = np.full(sp, neg, np.float32)
+        out[: F.n_states] = np.maximum(w, neg)
+        return out
+
+    weights = []
+    diag_offs = []
+    for o, w in F.diags:
+        diag_offs.append(o)
+        weights.append(prep(w))
+    chain_spec = []
+    for ch in F.chains:
+        entry_offs = []
+        for o, w in ch.entries:
+            entry_offs.append(o)
+            weights.append(prep(w))
+        ramp = np.zeros(sp, np.float32)
+        ramp[: F.n_states] = ch.ramp
+        ramp[F.n_states :] = ch.ramp[-1] if len(ch.ramp) else 0.0
+        weights.append(ramp)
+        exit_offs = []
+        for o, w in ch.exits:
+            exit_offs.append(o)
+            weights.append(prep(w))
+        chain_spec.append((tuple(entry_offs), tuple(exit_offs)))
+    spec = (tuple(diag_offs), tuple(chain_spec))
+    return spec, tuple(weights)
+
+
+def factored_transition(spec, weights, score):
+    """One max-plus transition step against the factored structure.
+
+    score: (..., SP) previous scores; returns (..., SP) pre-emission
+    ``out[v] = max_u score[u] + log_trans[u, v]``.  Lane shifts are
+    circular (jnp.roll): every finite weight has an in-range
+    destination by construction, and wrapped lanes carry the NEG
+    sentinel, so wrap-around never creates a winning candidate.
+    Mirrors hmm.factor.apply_factored (the f64 oracle semantics).
+    """
+    diag_offs, chain_spec = spec
+    it = iter(weights)
+    out = jnp.full_like(score, NEG)
+    for o in diag_offs:
+        out = jnp.maximum(out, jnp.roll(score + next(it), o, axis=-1))
+    for entry_offs, exit_offs in chain_spec:
+        inj = jnp.full_like(score, NEG)
+        for o in entry_offs:
+            inj = jnp.maximum(inj, jnp.roll(score + next(it), o, axis=-1))
+        ramp = next(it)
+        h = jax.lax.cummax(inj - ramp, axis=inj.ndim - 1) + ramp
+        for o in exit_offs:
+            out = jnp.maximum(out, jnp.roll(h + next(it), o, axis=-1))
+    return out
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def viterbi_scan_factored(obs, t_actual, log_start, log_trans, log_end, mu, sigma,
+                          is_uniform, log_uni, spec, *weights):
+    """Viterbi decode with the factored forward recursion.
+
+    Forward streams the rescaled score rows (T, S); the backward pass
+    recomputes the winning predecessor per visited state from the dense
+    matrix column — identical semantics (and tie-break) to the Pallas
+    recompute-backward kernel (ops/viterbi_pallas.py).  Outputs match
+    :func:`viterbi_scan` up to float32 summation-order effects on
+    chain-routed transitions (validated in tests/test_factor_kernels.py).
+    """
+    S = log_start.shape[0]
+    obs = obs.astype(jnp.float32)
+
+    score0 = log_start + emission_logp(obs[0], mu, sigma, is_uniform, log_uni)
+    shift0 = jnp.max(score0)
+    score0 = score0 - shift0
+
+    def step(carry, xt):
+        score, acc = carry
+        x, t = xt
+        best = factored_transition(spec, weights, score)
+        new = best + emission_logp(x, mu, sigma, is_uniform, log_uni)
+        shift = jnp.max(new)
+        live = t < t_actual
+        score = jnp.where(live, new - shift, score)
+        acc = jnp.where(live, acc + shift, acc)
+        return (score, acc), score
+
+    ts = jnp.arange(1, obs.shape[0], dtype=jnp.int32)
+    (score, acc), rows = jax.lax.scan(step, (score0, shift0), (obs[1:], ts))
+    rows = jnp.concatenate([score0[None], rows[:-1]])  # rows[t] = score at t-1
+    final = score + log_end
+    last = jnp.argmax(final).astype(jnp.int32)
+    logp = final[last] + acc
+
+    # walk t = T-1 .. 1; rows[t-1] holds the scores the forward maxed over
+    def back(state, inp):
+        sc_prev, t = inp
+        out = state
+        cand = sc_prev + log_trans[:, state]
+        prev = jnp.argmax(cand).astype(jnp.int32)
+        state = jnp.where(t < t_actual, prev, state)
+        return state, out
+
+    first, rev_path = jax.lax.scan(back, last, (rows, ts), reverse=True)
+    path = jnp.concatenate([first[None], rev_path])
+    return logp, path
+
+
+def viterbi_scan_factored_batch(obs, t_actual, chm_dev, spec, weights):
+    """Vmapped factored decode over a (B, T) batch in one dispatch.
+
+    chm_dev: the dense device tensors tuple as passed to viterbi_scan
+    (log_start, log_trans, log_end, mu, sigma, is_uniform, log_uni) —
+    the dense matrix is still needed for the recompute-backward.
+    """
+    return jax.vmap(lambda o, t: viterbi_scan_factored(
+        o, t, *chm_dev, spec, *weights))(obs, t_actual)
+
+
 def path_logp_f64(obs: np.ndarray, path: np.ndarray, chm) -> float:
     """Recompute the log-probability of a decoded path in float64 on host.
 

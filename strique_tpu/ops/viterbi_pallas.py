@@ -271,26 +271,33 @@ def _bwd_batch_kernel(sc_ref, bnd_ref, transT_ref, last_ref, tact_ref,
             t_rowB(st_ref[:, :].astype(jnp.float32)), path_ref.shape)
 
 
-@partial(jax.jit, static_argnames=())
-def viterbi_backward_batch(scores, last, t_actual, max_t, transT):
+@partial(jax.jit, static_argnames=("time_major",))
+def viterbi_backward_batch(scores, last, t_actual, max_t, transT,
+                           time_major: bool = False):
     """Decode paths for a whole batch from forward score rows.
 
-    scores: (B, T, SP) f32 rescaled score rows; last: (B,) i32 final
-    states; t_actual: (B,) i32 true lengths; max_t: scalar — chunks at or
-    past it were skipped by the forward.  Returns (B, T) i32 paths
-    (path[t] = last for t >= t_actual, matching the frozen walk).
+    scores: (B, T, SP) f32 rescaled score rows — or (T, B, SP) when
+    ``time_major`` (the factored forward's native layout, saving a full
+    HBM transpose pass); last: (B,) i32 final states; t_actual: (B,) i32
+    true lengths; max_t: scalar — chunks at or past it were skipped by
+    the forward.  Returns (B, T) i32 paths (path[t] = last for
+    t >= t_actual, matching the frozen walk).
     """
-    B, T, sp = scores.shape
+    if time_major:
+        T, B, sp = scores.shape
+    else:
+        B, T, sp = scores.shape
     assert T % BWD_CT == 0
     bpad = (-B) % 8
     if bpad:
-        scores = jnp.pad(scores, ((0, bpad), (0, 0), (0, 0)))
+        bspec = ((0, 0), (0, bpad), (0, 0)) if time_major else ((0, bpad), (0, 0), (0, 0))
+        scores = jnp.pad(scores, bspec)
         last = jnp.pad(last, (0, bpad))
         t_actual = jnp.pad(t_actual, (0, bpad), constant_values=1)
     Bp = B + bpad
     interpret = jax.default_backend() != "tpu"
     nc = T // BWD_CT
-    scT = jnp.transpose(scores, (1, 0, 2))  # (T, B, SP)
+    scT = scores if time_major else jnp.transpose(scores, (1, 0, 2))  # (T, B, SP)
     # bnd[c] = scores[c*CT - 1]: the cross-chunk boundary row
     bnd = jnp.concatenate(
         [jnp.zeros((1, Bp, sp), jnp.float32), scT[BWD_CT - 1::BWD_CT][: nc - 1]])
@@ -319,6 +326,158 @@ def viterbi_backward_batch(scores, last, t_actual, max_t, transT):
       t_actual.reshape(Bp, 1).astype(jnp.int32),
       jnp.reshape(jnp.asarray(max_t, jnp.int32), (1, 1)))
     return jnp.transpose(path).astype(jnp.int32)[:B]
+
+
+# ---------------------------------------------------------------------------
+# structure-factored forward (hmm/factor.py): the whole batch in ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The dense forward pays O(SP^2) VPU work per read-step against the full
+# transition matrix.  When the HMM factorizes (7 diagonals + 2 delete-chain
+# prefix-max flows for the flanked-repeat model), one step costs a dozen
+# lane-rolls plus one log-doubling cummax — all row ops — so the whole batch
+# rides the sublane axis of a single (B, SP) tile: ~16 vector ops per step
+# amortized over B reads instead of ~300 per read.  Score rows stream to HBM
+# in (T, B, SP) layout, which is exactly what the lane-parallel backward
+# consumes (the dense path needs a transpose pass for this).
+
+def _fwd_factored_kernel(spec, n_w, obs_ref, tact_ref, mt_ref, start_ref,
+                         mu_ref, sig_ref, uni_ref, luni_ref, *rest):
+    diag_offs, chain_spec = spec
+    w_refs = rest[:n_w]
+    sc_ref, fin_out_ref, acc_out_ref = rest[n_w : n_w + 3]
+    st_ref, fin_ref, acc_ref = rest[n_w + 3 :]
+
+    B, sp = st_ref.shape
+    ct = sc_ref.shape[0]
+    tc = pl.program_id(0)
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (B, ct), 1)
+    negf = jnp.float32(NEG)
+    lsig = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :])  # (1, sp), once per chunk
+
+    @pl.when(tc == 0)
+    def _init():
+        st_ref[:, :] = jnp.zeros((B, sp), jnp.float32)
+        fin_ref[:, :] = jnp.zeros((B, sp), jnp.float32)
+        acc_ref[:, :] = jnp.zeros((B, 1), jnp.float32)
+
+    def roll(x, o):
+        # circular lane roll: wrapped lanes carry sentinel sums (the weight
+        # vectors are NEG outside their real source lanes) and never win
+        oo = o % sp
+        if oo == 0:
+            return x
+        return jnp.concatenate([x[:, sp - oo :], x[:, : sp - oo]], axis=1)
+
+    def cummax(x):
+        k = 1
+        while k < sp:  # prefix max along lanes (log-step doubling)
+            x = jnp.maximum(x, jnp.concatenate(
+                [jnp.full((B, k), NEG, jnp.float32), x[:, :-k]], axis=1))
+            k *= 2
+        return x
+
+    obs_tile = obs_ref[:, :]
+    tact = tact_ref[:, :]  # (B, 1) i32
+
+    def step(i, carry):
+        st, fin, acc = carry
+        t = tc * ct + i
+        sel = sel_iota == i
+        x = jnp.max(jnp.where(sel, obs_tile, negf), axis=1, keepdims=True)
+        z = (x - mu_ref[:, :]) / sig_ref[:, :]
+        emit = jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], lsig - 0.5 * z * z)
+        it = iter(w_refs)
+        out = jnp.full((B, sp), NEG, jnp.float32)
+        for o in diag_offs:
+            out = jnp.maximum(out, roll(st + next(it)[:, :], o))
+        for entry_offs, exit_offs in chain_spec:
+            inj = jnp.full((B, sp), NEG, jnp.float32)
+            for o in entry_offs:
+                inj = jnp.maximum(inj, roll(st + next(it)[:, :], o))
+            ramp = next(it)[:, :]
+            h = cummax(inj - ramp) + ramp
+            for o in exit_offs:
+                out = jnp.maximum(out, roll(h + next(it)[:, :], o))
+        val = out + emit
+        val = jnp.where(t == 0, start_ref[:, :] + emit, val)
+        m = jnp.max(val, axis=1, keepdims=True)
+        stn = val - m
+        live = t < tact
+        st = jnp.where(live, stn, st)
+        acc = acc + jnp.where(live, m, 0.0)
+        fin = jnp.where(t == tact - 1, stn, fin)
+        sc_ref[i, :, :] = st
+        return st, fin, acc
+
+    @pl.when(tc * ct < mt_ref[0, 0])
+    def _work():
+        st, fin, acc = jax.lax.fori_loop(
+            0, ct, step, (st_ref[:, :], fin_ref[:, :], acc_ref[:, :]))
+        st_ref[:, :] = st
+        fin_ref[:, :] = fin
+        acc_ref[:, :] = acc
+
+    @pl.when(tc == pl.num_programs(0) - 1)
+    def _fin():
+        fin_out_ref[:, :] = fin_ref[:, :]
+        acc_out_ref[:, :] = acc_ref[:, :]
+
+
+def _factored_ct(B: int, sp: int) -> int:
+    """Largest time-chunk whose (CT, B, SP) f32 block stays under ~4 MB."""
+    for ct in (64, 32, 16, 8):
+        if ct * B * sp * 4 <= (4 << 20):
+            return ct
+    return 8
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def viterbi_forward_pallas_factored(obs, t_actual, start_row, mu, sigma, uni,
+                                    luni, spec, *weights):
+    """Factored forward for the whole (B, T) batch in one kernel.
+
+    Returns (sc (T, B, SP) f32 score rows — already time-major for the
+    backward walk — final rows (B, SP), acc (B, 1)).
+    B must be a multiple of 8; T a multiple of the adaptive time chunk.
+    """
+    B, T = obs.shape
+    sp = start_row.shape[1]
+    ct = _factored_ct(B, sp)
+    assert B % 8 == 0 and T % ct == 0
+    n_w = len(weights)
+    interpret = jax.default_backend() != "tpu"
+    const = lambda i: (0, 0)
+    vrow = pl.BlockSpec((1, sp), const, memory_space=pltpu.VMEM)
+    mt = jnp.max(t_actual).reshape(1, 1).astype(jnp.int32)
+    sc, fin, acc = pl.pallas_call(
+        partial(_fwd_factored_kernel, spec, n_w),
+        grid=(T // ct,),
+        in_specs=[
+            pl.BlockSpec((B, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            vrow, vrow, vrow, vrow, vrow,
+        ] + [vrow] * n_w,
+        out_specs=[
+            pl.BlockSpec((ct, B, sp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, sp), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, sp), jnp.float32),
+            jax.ShapeDtypeStruct((B, sp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, sp), jnp.float32),
+            pltpu.VMEM((B, sp), jnp.float32),
+            pltpu.VMEM((B, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(obs, t_actual.reshape(B, 1).astype(jnp.int32), mt, start_row,
+      mu, sigma, uni, luni, *weights)
+    return sc, fin, acc
 
 
 class PaddedHMM:
@@ -356,6 +515,16 @@ class PaddedHMM:
         self.sigma_col = jnp.asarray(np.ascontiguousarray(sigma.T))
         self.uni_col = jnp.asarray(np.ascontiguousarray(uni.T))
         self.luni_col = jnp.asarray(np.ascontiguousarray(luni.T))
+        # structure-factored staging (hmm/factor.py): static lane-offset spec
+        # plus (1, SP) weight rows; None -> dense kernel fallback
+        self.fspec = None
+        self.fweights = None
+        if getattr(chm, "factored", None) is not None:
+            from .viterbi import stage_factored
+
+            spec, weights = stage_factored(chm.factored, sp)
+            self.fspec = spec
+            self.fweights = tuple(jnp.asarray(w.reshape(1, sp)) for w in weights)
 
 
 def viterbi_pallas(obs, t_actual, ph: PaddedHMM):
@@ -391,16 +560,41 @@ def _viterbi_batch_jit(obs, t_actual, trans, transT, start_col, mu, sigma,
     return logp, path
 
 
+@partial(jax.jit, static_argnames=("spec",))
+def _viterbi_batch_factored_jit(obs, t_actual, start_row, mu, sigma, uni, luni,
+                                end, transT, spec, *weights):
+    B = obs.shape[0]
+    sc, fin, acc = viterbi_forward_pallas_factored(
+        obs, t_actual, start_row, mu, sigma, uni, luni, spec, *weights)
+    final = fin + end  # broadcast (1, SP)
+    last = jnp.argmax(final, axis=1).astype(jnp.int32)
+    logp = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0] + acc[:, 0]
+    mt = jnp.max(t_actual)
+    path = viterbi_backward_batch(sc, last, t_actual, mt, transT, time_major=True)
+    return logp, path
+
+
 def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
     """Decode a whole (B, T) batch in one dispatch.
 
-    The forward runs READS_PER_CELL reads per kernel instance (vmapped
-    over the batch); the backward walks every read of the batch
+    When the HMM factorizes (ph.fspec), the forward runs the whole batch
+    sublane-packed in one structure-factored kernel; otherwise the dense
+    forward runs READS_PER_CELL reads per kernel instance (vmapped over
+    the batch).  Either way the backward walks every read of the batch
     lane-parallel in a single kernel.
     """
     obs_batch = obs_batch.astype(jnp.float32)
     t_actual_batch = t_actual_batch.astype(jnp.int32)
     B = obs_batch.shape[0]
+    if ph.fspec is not None:
+        bpad = (-B) % 8
+        if bpad:
+            obs_batch = jnp.pad(obs_batch, ((0, bpad), (0, 0)))
+            t_actual_batch = jnp.pad(t_actual_batch, (0, bpad), constant_values=1)
+        logp, path = _viterbi_batch_factored_jit(
+            obs_batch, t_actual_batch, ph.start, ph.mu, ph.sigma, ph.uni,
+            ph.luni, ph.end, ph.transT, ph.fspec, *ph.fweights)
+        return logp[:B], path[:B]
     R = min(READS_PER_CELL, max(B, 1))
     bpad = (-B) % R
     if bpad:
