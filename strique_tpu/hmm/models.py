@@ -238,4 +238,17 @@ def build_repeat_mod(repeat: str, pm_base: PoreModel, pm_mod: PoreModel,
     names = chm.names
     chm.meta["anchor_states"] = np.array([n in ("s0", "e0") for n in names], dtype=bool)
     chm.meta["mod_states"] = np.array(["mod" in n for n in names], dtype=bool)
+    if tp.get("pomegranate_compat"):
+        # The reference's mod model was pomegranate-baked too, and its
+        # s0/e0 anchors are the same uniform-emission dummy shape that
+        # carries the +ln(10)-per-visit bake artifact in the counting
+        # HMM (see build_flanked_repeat above).  The constant is shared
+        # by both branches of every unit, so the 0/1 branch choice is
+        # insensitive to it — but it rewards paths with MORE anchor
+        # visits, and on boundary-ambiguous signals it can change the
+        # unit segmentation (measured: 1/40 synthetic mixed-unit reads
+        # changed pattern length).  Applied symmetrically with the
+        # counting HMM under the same config flag; see PARITY.md.
+        chm.log_uni = np.where(chm.meta["anchor_states"],
+                               chm.log_uni + np.log(10.0), chm.log_uni)
     return chm

@@ -351,7 +351,12 @@ def _fwd_factored_kernel(spec, n_w, obs_ref, tact_ref, mt_ref, start_ref,
     B, sp = st_ref.shape
     ct = sc_ref.shape[0]
     tc = pl.program_id(0)
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (B, ct), 1)
+    # obs arrives in 128-lane blocks (the Mosaic lane-tile minimum); when
+    # ct < 128 consecutive grid steps revisit the same block and select
+    # their column window by masked lane reduce
+    obs_lanes = obs_ref.shape[1]
+    lane_off = (tc * ct) % obs_lanes
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (B, obs_lanes), 1)
     negf = jnp.float32(NEG)
     lsig = -0.5 * _LOG2PI - jnp.log(sig_ref[:, :])  # (1, sp), once per chunk
 
@@ -383,7 +388,7 @@ def _fwd_factored_kernel(spec, n_w, obs_ref, tact_ref, mt_ref, start_ref,
     def step(i, carry):
         st, fin, acc = carry
         t = tc * ct + i
-        sel = sel_iota == i
+        sel = sel_iota == lane_off + i
         x = jnp.max(jnp.where(sel, obs_tile, negf), axis=1, keepdims=True)
         z = (x - mu_ref[:, :]) / sig_ref[:, :]
         emit = jnp.where(uni_ref[:, :] != 0, luni_ref[:, :], lsig - 0.5 * z * z)
@@ -444,7 +449,7 @@ def viterbi_forward_pallas_factored(obs, t_actual, start_row, mu, sigma, uni,
     B, T = obs.shape
     sp = start_row.shape[1]
     ct = _factored_ct(B, sp)
-    assert B % 8 == 0 and T % ct == 0
+    assert B % 8 == 0 and T % ct == 0 and T % LANE == 0
     n_w = len(weights)
     interpret = jax.default_backend() != "tpu"
     const = lambda i: (0, 0)
@@ -454,7 +459,8 @@ def viterbi_forward_pallas_factored(obs, t_actual, start_row, mu, sigma, uni,
         partial(_fwd_factored_kernel, spec, n_w),
         grid=(T // ct,),
         in_specs=[
-            pl.BlockSpec((B, ct), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, LANE), lambda i, _ct=ct: (0, (i * _ct) // LANE),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
             vrow, vrow, vrow, vrow, vrow,
