@@ -131,6 +131,7 @@ class RepeatCounter:
         # mesh-sharded alike; flip off to use the two-phase host-bounds path
         self.fused = True
         self._dev_cache: dict = {}
+        self._pool = None  # lazy host-preprocessing thread pool
 
     # -- model construction ------------------------------------------------
     def add_target(self, target_name: str, repeat: str, prefix: str, suffix: str) -> None:
@@ -187,6 +188,16 @@ class RepeatCounter:
         import jax
 
         return jax.default_backend() == "tpu"
+
+    def _prep_pool(self):
+        """Thread pool for per-read host preprocessing (lazy, GIL-released
+        ctypes work; sized to the host's cores)."""
+        if self._pool is None:
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, 8))
+        return self._pool
 
     # -- fused device pipeline ----------------------------------------------
     def _pipeline(self, tc: TargetClassifier, use_buf: bool):
@@ -322,16 +333,22 @@ class RepeatCounter:
             # byte-buffer H2D (the link costs ~12 ms/MB plus a flat
             # per-transfer latency); layout per row:
             # [flt f32 bytes | LUT f32 bytes | morph u8]
+            # Reads fan out over a small thread pool: the C ABI call
+            # releases the GIL and each thread writes a disjoint buffer
+            # row, so prep scales with host cores.
             mc = model_const(self.pm)
             buf = np.zeros((Bp, _buf_bytes(npad)), dtype=np.uint8)
-            flts = []
-            for i, raw in enumerate(raws):
+
+            def _prep_row(i_raw):
+                i, raw = i_raw
                 n = len(raw)
                 row = buf[i]
                 flt32 = row[: 4 * npad].view(np.float32)[:n]
                 lut = row[4 * npad : 4 * npad + 4 * _LUT_LEVELS].view(np.float32)
                 q = row[4 * npad + 4 * _LUT_LEVELS :][:n]
-                flts.append(native_lib.preprocess_read_lut(raw, mc, flt32, q, lut))
+                return native_lib.preprocess_read_lut(raw, mc, flt32, q, lut)
+
+            flts = list(self._prep_pool().map(_prep_row, enumerate(raws)))
             packed_dev = self._pipeline(tc, use_buf=True)(jnp.asarray(buf),
                                                           jnp.asarray(n_sigs_p))
             state = {"fused": packed_dev}
@@ -341,8 +358,8 @@ class RepeatCounter:
             morphs, flts = [], []
             if have_native:
                 mc = model_const(self.pm)
-                for raw in raws:
-                    morph_n, flt_n = native_lib.preprocess_read(raw, mc)
+                for morph_n, flt_n in self._prep_pool().map(
+                        lambda raw: native_lib.preprocess_read(raw, mc), raws):
                     morphs.append(morph_n)
                     flts.append(flt_n)
             else:

@@ -46,6 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 CHUNK_T = 512
 BWD_CT = 64  # backward time-chunk (must divide CHUNK_T)
+FACTORED_UNROLL = 1  # factored-forward step unroll; >1 gives Mosaic a
+                     # scheduling window but was measured to blow up its
+                     # compile time (>9 min for one shape at 4x vs ~90 s
+                     # at 1x) for a ~3% end-to-end ceiling -- not worth it
 LANE = 128
 _LOG2PI = float(np.log(2.0 * np.pi))
 
@@ -415,10 +419,18 @@ def _fwd_factored_kernel(spec, n_w, obs_ref, tact_ref, mt_ref, start_ref,
         sc_ref[i, :, :] = st
         return st, fin, acc
 
+    def step_u(q, carry):
+        # unrolled window: lets Mosaic schedule across serially-dependent
+        # steps (same trick as the align kernel's 8x column unroll)
+        for u in range(FACTORED_UNROLL):
+            carry = step(q * FACTORED_UNROLL + u, carry)
+        return carry
+
     @pl.when(tc * ct < mt_ref[0, 0])
     def _work():
         st, fin, acc = jax.lax.fori_loop(
-            0, ct, step, (st_ref[:, :], fin_ref[:, :], acc_ref[:, :]))
+            0, ct // FACTORED_UNROLL, step_u,
+            (st_ref[:, :], fin_ref[:, :], acc_ref[:, :]))
         st_ref[:, :] = st
         fin_ref[:, :] = fin
         acc_ref[:, :] = acc
@@ -525,7 +537,10 @@ class PaddedHMM:
         # plus (1, SP) weight rows; None -> dense kernel fallback
         self.fspec = None
         self.fweights = None
-        if getattr(chm, "factored", None) is not None:
+        import os
+
+        if (getattr(chm, "factored", None) is not None
+                and os.environ.get("STRIQUE_DENSE_VITERBI") != "1"):
             from .viterbi import stage_factored
 
             spec, weights = stage_factored(chm.factored, sp)
