@@ -42,7 +42,7 @@ def cmd_count(argv) -> int:
     parser.add_argument("--t", type=int, default=1, help="Host IO worker threads (fast5 reads; also per-read mode workers)")
     parser.add_argument("--batch", type=int, default=None,
                         help="Reads per batched device invocation (1 disables batching; "
-                             "default: 32 on TPU, 8 elsewhere, x data-parallel degree)")
+                             "default: 64 on TPU, 8 elsewhere, x data-parallel degree)")
     parser.add_argument("--devices", default="auto",
                         help="Data-parallel device count: 'auto' shards read batches over "
                              "all local accelerator devices; an integer caps it; 1 runs single-device")
@@ -87,7 +87,7 @@ def cmd_count(argv) -> int:
             LogLevel.Info)
     batch_size = args.batch
     if batch_size is None:
-        batch_size = 32 if jax.default_backend() == "tpu" else 8
+        batch_size = 64 if jax.default_backend() == "tpu" else 8
     if mesh is not None and batch_size > 1:
         batch_size = (batch_size + n_dev - 1) // n_dev * n_dev
 

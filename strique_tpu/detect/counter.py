@@ -132,6 +132,7 @@ class RepeatCounter:
         self.fused = True
         self._dev_cache: dict = {}
         self._pool = None  # lazy host-preprocessing thread pool
+        self._uploader = None  # lazy single-thread H2D dispatcher
 
     # -- model construction ------------------------------------------------
     def add_target(self, target_name: str, repeat: str, prefix: str, suffix: str) -> None:
@@ -198,6 +199,15 @@ class RepeatCounter:
 
             self._pool = ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, 8))
         return self._pool
+
+    def _upload_pool(self):
+        """Single-thread uploader: serializes H2D + dispatch in submit
+        order off the caller's thread."""
+        if self._uploader is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._uploader = ThreadPoolExecutor(max_workers=1)
+        return self._uploader
 
     # -- fused device pipeline ----------------------------------------------
     def _pipeline(self, tc: TargetClassifier, use_buf: bool):
@@ -349,9 +359,30 @@ class RepeatCounter:
                 return native_lib.preprocess_read_lut(raw, mc, flt32, q, lut)
 
             flts = list(self._prep_pool().map(_prep_row, enumerate(raws)))
-            packed_dev = self._pipeline(tc, use_buf=True)(jnp.asarray(buf),
-                                                          jnp.asarray(n_sigs_p))
-            state = {"fused": packed_dev}
+            pipeline = self._pipeline(tc, use_buf=True)
+            n_dev = jnp.asarray(n_sigs_p)
+
+            def _dispatch():
+                packed = pipeline(jnp.asarray(buf), n_dev)
+                try:
+                    packed.copy_to_host_async()
+                except Exception:
+                    pass
+                return packed
+
+            import os
+
+            if os.environ.get("STRIQUE_ASYNC_UPLOAD") == "1":
+                # hand upload + dispatch to a single-thread uploader so the
+                # submit thread can prep the next batch sooner.  Opt-in:
+                # on the 2-core bench host it measured neutral-to-negative
+                # ({215, 217} vs 225 reads/s) -- the uploader thread
+                # contends with the prep pool -- but hosts with spare
+                # cores can profit (futures resolve in decode_bounds).
+                state = {"fused": self._upload_pool().submit(_dispatch)}
+            else:
+                state = {"fused": _dispatch()}
+            packed_dev = None
         else:
             # host preprocessing (float64, exact scipy semantics); the
             # native C++ path is a single pass per read, NumPy otherwise
@@ -392,10 +423,11 @@ class RepeatCounter:
                     suf["score"][:, None], suf["jpos"].astype(jnp.float32), suf["is_gap"].astype(jnp.float32),
                 ], axis=1)
                 state = {"packed": packed_dev}
-        try:
-            packed_dev.copy_to_host_async()
-        except Exception:
-            pass
+        if packed_dev is not None:
+            try:
+                packed_dev.copy_to_host_async()
+            except Exception:
+                pass
         state.update({"tc": tc, "raws": raws, "flts": flts, "n_sigs": n_sigs, "B": B})
         return state
 
@@ -419,7 +451,10 @@ class RepeatCounter:
         paths = {}
         seg_lens = {}
         if "fused" in state:
-            rows = unpack_results(np.asarray(state["fused"])[:B],
+            fused = state["fused"]
+            if hasattr(fused, "result"):  # async uploader future
+                fused = fused.result()
+            rows = unpack_results(np.asarray(fused)[:B],
                                   tc.repeat_hmm.n_states)
             for i, r in enumerate(rows):
                 bounds.append((r.ok, r.score_prefix, r.score_suffix,

@@ -58,11 +58,19 @@ def test_align_pallas_on_chip_matches_scan():
 
 
 def test_viterbi_pallas_on_chip_real_hmm(c9_assets):
-    from strique_tpu.ops.viterbi import viterbi_scan
+    """Compiled-Mosaic vs XLA-scan parity for BOTH Viterbi forwards.
+
+    Exactness pairs kernels running the same arithmetic: the factored
+    Pallas forward against the factored scan (bit-identical claim), and
+    the dense Pallas forward against the dense scan.  Counts must agree
+    across all four decoders.
+    """
+    from strique_tpu.ops import viterbi as V
     from strique_tpu.ops.viterbi_pallas import CHUNK_T, PaddedHMM, viterbi_pallas_batch
 
     pm, chm, repeat, prefix, suffix = c9_assets
     ph = PaddedHMM(chm)
+    assert ph.fspec is not None
     seq = prefix[-50:] + repeat * 12 + suffix[:50]
     sig = pm.generate_signal(seq, samples=6).astype(np.float32)
     T = len(sig)
@@ -71,20 +79,40 @@ def test_viterbi_pallas_on_chip_real_hmm(c9_assets):
     obs[0, :T] = sig
     obs[1, : T - 48] = sig[:-48]
     lens = np.array([T, T - 48], np.int32)
-    dev = (jnp.asarray(chm.log_start, jnp.float32), jnp.asarray(chm.log_trans, jnp.float32),
+    dev = (jnp.asarray(chm.log_start, jnp.float32),
+           jnp.asarray(np.maximum(chm.log_trans, V.NEG), jnp.float32),
            jnp.asarray(chm.log_end, jnp.float32), jnp.asarray(chm.mu, jnp.float32),
            jnp.asarray(chm.sigma, jnp.float32), jnp.asarray(chm.is_uniform),
            jnp.asarray(chm.log_uni, jnp.float32))
-    logps, paths = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens), ph)
+
+    # factored Mosaic forward vs factored scan: bit-identical paths
+    logps_f, paths_f = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens), ph)
+    spec, weights = V.stage_factored(chm.factored)
+    weights = tuple(map(jnp.asarray, weights))
+    logps_fs, paths_fs = V.viterbi_scan_factored_batch(
+        jnp.asarray(obs), jnp.asarray(lens), dev, spec, weights)
+
+    # dense Mosaic forward vs dense scan
+    ph_dense = PaddedHMM(chm)
+    ph_dense.fspec = None
+    logps_d, paths_d = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens), ph_dense)
+
     for k in range(2):
-        lp_ref, p_ref = viterbi_scan(jnp.asarray(obs[k]), jnp.int32(lens[k]), *dev)
-        assert np.isclose(float(logps[k]), float(lp_ref), rtol=1e-4), f"read {k}"
-        np.testing.assert_array_equal(np.asarray(paths[k])[: lens[k]],
-                                      np.asarray(p_ref)[: lens[k]], err_msg=f"read {k}")
+        t = int(lens[k])
+        np.testing.assert_array_equal(np.asarray(paths_f[k])[:t],
+                                      np.asarray(paths_fs[k])[:t],
+                                      err_msg=f"factored pallas vs scan, read {k}")
+        assert np.isclose(float(logps_f[k]), float(logps_fs[k]), rtol=1e-5)
+        lp_ref, p_ref = V.viterbi_scan(jnp.asarray(obs[k]), jnp.int32(lens[k]), *dev)
+        np.testing.assert_array_equal(np.asarray(paths_d[k])[:t],
+                                      np.asarray(p_ref)[:t],
+                                      err_msg=f"dense pallas vs scan, read {k}")
+        assert np.isclose(float(logps_d[k]), float(lp_ref), rtol=1e-4)
+        counts = {V.count_repeats(np.asarray(p)[:t], t, chm)
+                  for p in (paths_f[k], paths_fs[k], paths_d[k], p_ref)}
+        assert len(counts) == 1, f"count disagreement on read {k}: {counts}"
 
-    from strique_tpu.ops.viterbi import count_repeats
-
-    assert count_repeats(np.asarray(paths[0]), int(lens[0]), chm) == 12
+    assert V.count_repeats(np.asarray(paths_f[0]), int(lens[0]), chm) == 12
 
 
 def test_fused_vs_two_phase_on_chip(c9_assets):
