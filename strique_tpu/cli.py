@@ -63,6 +63,16 @@ def cmd_count(argv) -> int:
 
     import jax
 
+    # persistent kernel cache: repeat invocations skip the Mosaic/XLA
+    # compiles (~60-90 s per shape on a TPU backend) entirely
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "strique_tpu", "jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
     from .detect.detector import RepeatDetector
     from .detect.writer import OutputWriter, processed_ids
     from .parallel.dispatcher import run_pipeline

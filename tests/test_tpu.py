@@ -148,6 +148,34 @@ def test_fused_vs_two_phase_on_chip(c9_assets):
         assert np.isclose(rf[3], rt[3], rtol=1e-6)
 
 
+def test_modification_on_chip(c9_assets):
+    """5mC calling on the compiled chip kernels: the mod HMM factorizes to
+    diagonals only (no silent chains), so this pins the diag-only factored
+    variant's Mosaic numerics; canonical vs mCpG-generated reads must
+    separate cleanly with exact counts."""
+    from strique_tpu.detect.counter import RepeatCounter
+    from strique_tpu.pore_model import PoreModel
+
+    pm, chm, repeat, prefix, suffix = c9_assets
+    mod_file = "/root/reference/models/r9_4_450bps_mCpG.model"
+    pm_mod = PoreModel(mod_file)
+    counter = RepeatCounter(MODEL, mod_model_file=mod_file)
+    counter.add_target("c9", repeat, prefix, suffix)
+    rng = np.random.default_rng(3)
+    backbone = "".join(rng.choice(list("ACTG"), 400))
+    n_rep = 14
+    seq = backbone[:200] + prefix + repeat * n_rep + suffix + backbone[-200:]
+    sigs = [pm.generate_signal(seq, samples=8, noise=True, rng=rng),
+            pm_mod.generate_signal(seq, samples=8, noise=True, rng=rng)]
+    res = counter.detect_many("c9", sigs, "+")
+    for r, kind in zip(res, ("canonical", "mod")):
+        assert r[0] == n_rep, f"{kind}: count {r[0]} != {n_rep}"
+        assert r[6] not in ("-", ""), f"{kind}: no mod pattern"
+    rate_can = res[0][6].count("1") / len(res[0][6])
+    rate_mod = res[1][6].count("1") / len(res[1][6])
+    assert rate_can < 0.3 and rate_mod > 0.7, (rate_can, rate_mod)
+
+
 def test_counts_exact_on_chip(c9_assets):
     """End-to-end exactness on the production TPU path (Pallas align +
     Pallas Viterbi + fused tail), both strands."""
