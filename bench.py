@@ -110,21 +110,18 @@ def main():
     random.Random(5).shuffle(ragged)
 
     def ragged_pass():
-        ok = 0
-        pending = []
-        for b0 in range(0, n_ragged, batch):
-            window = ragged[b0:b0 + batch]
-            for strand in "+-":
-                grp = [(nrep, sig) for s, nrep, sig in window if s == strand]
-                if grp:
-                    st = counter.detect_submit("c9orf72", [s for _, s in grp], strand)
-                    pending.append(([n for n, _ in grp], st))
-            while len(pending) > 2:
-                exp, st = pending.pop(0)
-                ok += sum(int(r[0] == e) for r, e in zip(counter.detect_finish(st), exp))
-        for exp, st in pending:
-            ok += sum(int(r[0] == e) for r, e in zip(counter.detect_finish(st), exp))
-        return ok
+        # the production stream path: reads queue by (target, strand, jit
+        # bucket) and flush as full shape-homogeneous batches
+        from strique_tpu.detect.stream import StreamScheduler
+
+        res = {}
+        sched = StreamScheduler(counter, lambda ctx, out: res.__setitem__(ctx, out),
+                                batch_size=batch)
+        for i, (strand, nrep, sig) in enumerate(ragged):
+            sched.add(i, "c9orf72", strand, sig)
+        sched.close()
+        return sum(int(res.get(i) is not None and res[i][0] == nrep)
+                   for i, (_, nrep, _) in enumerate(ragged))
 
     ragged_pass()  # compile the bucket set + warm
     t0 = time.perf_counter()

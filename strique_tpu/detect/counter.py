@@ -93,6 +93,22 @@ def pad_bucket(n: int, minimum: int = 2048) -> int:
     return base * 2
 
 
+def signal_bucket(n: int) -> int:
+    """The padded signal length a read of ``n`` samples compiles under.
+
+    Single source of truth for the jit-bucket grid: the pad_bucket grid
+    rounded up to the align kernel's column chunk and the Viterbi
+    kernel's time chunk.  Streaming schedulers group reads by this value
+    so every group hits an existing compiled pipeline.
+    """
+    from ..ops.align_pallas import CHUNK as ALIGN_CHUNK
+    from ..ops.viterbi_pallas import CHUNK_T
+
+    npad = pad_bucket(int(n))
+    npad = (npad + ALIGN_CHUNK - 1) // ALIGN_CHUNK * ALIGN_CHUNK
+    return (npad + CHUNK_T - 1) // CHUNK_T * CHUNK_T
+
+
 @dataclass
 class TargetClassifier:
     """Per-strand detection assets (reference STRique.py:532, 561-575)."""
@@ -316,13 +332,9 @@ class RepeatCounter:
         raws = [np.asarray(r, dtype=np.float64) for r in raw_signals]
         n_sigs = np.array([len(r) for r in raws], dtype=np.int32)
         from .. import native as native_lib
-        from ..ops.align_pallas import CHUNK as ALIGN_CHUNK
         from ..ops.prep import model_const
-        from ..ops.viterbi_pallas import CHUNK_T
 
-        npad = pad_bucket(int(n_sigs.max()))
-        npad = (npad + ALIGN_CHUNK - 1) // ALIGN_CHUNK * ALIGN_CHUNK
-        npad = (npad + CHUNK_T - 1) // CHUNK_T * CHUNK_T
+        npad = signal_bucket(int(n_sigs.max()))
         import jax.numpy as jnp
 
         # the batch dimension shards over the mesh's data axis: pad to a

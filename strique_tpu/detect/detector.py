@@ -62,6 +62,14 @@ class RepeatDetector:
         log(f"Detector: Test {sr.QNAME} for targets: {','.join(target_names)}.", LogLevel.Debug)
         return sr, target_names, raw
 
+    def decode_line(self, sam_line: str):
+        """Public decode+fetch for streaming schedulers: SAM line ->
+        (record, matching targets, raw signal) or None; initializes the
+        HMMs on first use like every other entry point."""
+        if not self.is_init:
+            self._init_targets()
+        return self._decode_and_fetch(sam_line)
+
     def detect(self, sam_line: str = ""):
         """Process one SAM line -> {'target_counts': [...]} or None
         (reference :681-705)."""

@@ -41,49 +41,68 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
                 f"({n / dt:.2f} reads/s).", LogLevel.Info)
 
     if batch_size > 1:
-        from collections import deque
+        # bucket-stream mode: reads queue by (target, strand, jit bucket)
+        # and flush as FULL shape-homogeneous device batches — a ragged
+        # SAM stream no longer pays half-empty, mixed-length windows
+        # (see detect/stream.py)
+        from ..detect.stream import StreamScheduler
 
-        buf = []
-        pending = deque()  # (n_lines, handle) — depth-2 pipeline
+        line_left: dict[int, int] = {}
+        line_rows: dict[int, list] = {}
 
-        def submit(lines):
+        def on_result(ctx, out):
+            nonlocal n_processed
+            line_id, qname, target_name, strand = ctx
+            if out is not None:
+                line_rows[line_id].append((qname, target_name, strand, *out))
+            line_left[line_id] -= 1
+            if line_left[line_id] == 0:
+                rows = line_rows.pop(line_id)
+                del line_left[line_id]
+                n_processed += 1
+                if rows:
+                    writer.write_line(target_counts=rows)
+
+        sched = StreamScheduler(detector.counter, on_result, batch_size=batch_size)
+
+        def feed(line_id, job):
+            nonlocal n_processed
+            if job is None:
+                n_processed += 1
+                return
+            sr, target_names, raw = job
+            line_left[line_id] = len(target_names)
+            line_rows[line_id] = []
+            for t in target_names:
+                sched.add((line_id, sr.QNAME, t, sr.strand), t, sr.strand, raw)
+
+        def decode(line):
             try:
-                return detector.detect_batch_submit(lines, io_threads)
+                return detector.decode_line(line)
             except KeyboardInterrupt:
                 raise
             except Exception:
-                log("Factory: Unexpected error in batch submit, proceeding.\n"
+                log("Factory: Unexpected error decoding alignment, proceeding.\n"
                     + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
                 return None
 
-        def collect(n_lines, handle):
-            nonlocal n_processed
-            n_processed += n_lines
-            if handle is None:
-                return
-            try:
-                results = detector.detect_batch_finish(handle)
-            except KeyboardInterrupt:
-                raise
-            except Exception:
-                log("Factory: Unexpected error in batch, proceeding with remaining reads.\n"
-                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
-                return
-            for result in results:
-                if result:
-                    writer.write_line(**result)
-
-        for line in sam_lines:
-            buf.append(line)
-            if len(buf) >= batch_size:
-                pending.append((len(buf), submit(buf)))
-                buf = []
-                if len(pending) >= 2:
-                    collect(*pending.popleft())
-        if buf:
-            pending.append((len(buf), submit(buf)))
-        while pending:
-            collect(*pending.popleft())
+        if io_threads > 1:
+            # bounded prefetch window overlaps fast5 IO with device batches
+            pending = []
+            with ThreadPoolExecutor(max_workers=io_threads) as pool:
+                line_id = 0
+                for line in sam_lines:
+                    pending.append((line_id, pool.submit(decode, line)))
+                    line_id += 1
+                    if len(pending) >= io_threads * 8:
+                        lid, fut = pending.pop(0)
+                        feed(lid, fut.result())
+                for lid, fut in pending:
+                    feed(lid, fut.result())
+        else:
+            for line_id, line in enumerate(sam_lines):
+                feed(line_id, decode(line))
+        sched.close()
         log_rate(n_processed)
         return n_processed
 

@@ -94,6 +94,41 @@ def test_plot_cli_writes_png(synthetic_run, tmp_path):
     assert len(pngs) == 3
 
 
+def test_stream_scheduler_buckets(synthetic_run):
+    """The bucket-stream scheduler must reproduce direct batched detection
+    exactly across mixed strands, lengths (multiple jit buckets) and
+    partial queues, with one callback per submitted read."""
+    from strique_tpu.detect.counter import RepeatCounter, reverse_complement, signal_bucket
+    from strique_tpu.detect.stream import StreamScheduler
+
+    pm = PoreModel(MODEL)
+    counter = RepeatCounter(MODEL)
+    counter.add_target("c9", REPEAT, PREFIX, SUFFIX)
+    rng = np.random.default_rng(8)
+    reads = []
+    for i in range(10):
+        n = int(rng.integers(5, 25))
+        bb = "".join(rng.choice(list("ACTG"), (i % 3 + 1) * 700))
+        seq = bb[: len(bb) // 2] + PREFIX + REPEAT * n + SUFFIX + bb[len(bb) // 2 :]
+        strand = "+" if i % 2 == 0 else "-"
+        if strand == "-":
+            seq = reverse_complement(seq)
+        reads.append((strand, n, pm.generate_signal(seq, samples=8)))
+    assert len({signal_bucket(len(s)) for _, _, s in reads}) > 1  # really multi-bucket
+
+    res = {}
+    sched = StreamScheduler(counter, lambda ctx, out: res.__setitem__(ctx, out),
+                            batch_size=4)
+    for i, (strand, _, sig) in enumerate(reads):
+        sched.add(i, "c9", strand, sig)
+    sched.close()
+    assert sorted(res) == list(range(len(reads)))
+    for i, (strand, n, sig) in enumerate(reads):
+        direct = counter.detect("c9", sig, strand)
+        assert res[i][0] == direct[0] == n
+        assert res[i] == direct, f"read {i}: {res[i]} != {direct}"
+
+
 def test_run_pipeline_fault_isolation(synthetic_run):
     """A bad SAM line must not kill the pipeline (reference :764-768)."""
     d, fofn, repeat_tsv, sam, counts = synthetic_run
