@@ -92,7 +92,7 @@ def main():
     # ragged phase: realistic stream — mixed read lengths spanning several
     # pad buckets, mixed repeat counts (different Viterbi segment buckets),
     # both strands (separate device pipelines), partial batches
-    n_ragged = int(os.environ.get("BENCH_RAGGED_READS", "96"))
+    n_ragged = int(os.environ.get("BENCH_RAGGED_READS", "192"))
     from strique_tpu.detect.counter import reverse_complement
 
     ragged = []
