@@ -200,6 +200,22 @@ class RepeatCounter:
             self._dev_cache[key] = PaddedHMM(chm)
         return self._dev_cache[key]
 
+    def _factored_scan(self, chm):
+        """Cache the factored staging for the XLA-scan kernel, or None."""
+        key = ("fscan", id(chm))
+        if key not in self._dev_cache:
+            import os
+
+            import jax.numpy as jnp
+
+            staged = None
+            if (getattr(chm, "factored", None) is not None
+                    and os.environ.get("STRIQUE_DENSE_VITERBI") != "1"):
+                spec, weights = viterbi_ops.stage_factored(chm.factored)
+                staged = (spec, tuple(jnp.asarray(w) for w in weights))
+            self._dev_cache[key] = staged
+        return self._dev_cache[key]
+
     @staticmethod
     def _use_pallas() -> bool:
         import jax
@@ -255,6 +271,7 @@ class RepeatCounter:
             ph = self._padded_hmm(tc.repeat_hmm)
         else:
             dev = self._device_hmm(tc.repeat_hmm)
+            fsw = self._factored_scan(tc.repeat_hmm)
 
         def tail(morph, flt, n_sigs):
             import jax.numpy as jnp
@@ -270,6 +287,9 @@ class RepeatCounter:
                 from ..ops.viterbi_pallas import viterbi_pallas_batch
 
                 _, paths = viterbi_pallas_batch(rolled, b["seg_len"], ph)
+            elif fsw is not None:
+                _, paths = viterbi_ops.viterbi_scan_factored_batch(
+                    rolled, b["seg_len"], dev, fsw[0], fsw[1])
             else:
                 _, paths = viterbi_ops.viterbi_scan_batch(rolled, b["seg_len"], *dev)
             return pack_results(b, paths, n_states)
@@ -571,5 +591,10 @@ class RepeatCounter:
         for k, s in enumerate(segments):
             obs[k, : len(s)] = s
         dev = self._device_hmm(chm)
+        fsw = self._factored_scan(chm)
+        if fsw is not None:
+            _, paths = viterbi_ops.viterbi_scan_factored_batch(
+                jnp.asarray(obs), jnp.asarray(lens), dev, fsw[0], fsw[1])
+            return np.asarray(paths)
         _, paths = viterbi_ops.viterbi_scan_batch(jnp.asarray(obs), jnp.asarray(lens), *dev)
         return np.asarray(paths)
