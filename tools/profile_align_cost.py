@@ -165,7 +165,7 @@ def main():
                     pltpu.VMEM((Bc, mp), jnp.float32),
                     pltpu.VMEM((Bc, mp), jnp.float32),
                 ],
-            )(signals, n_actual[:, None].astype(jnp.int32))
+            )(signals, template_padded, n_actual[:, None].astype(jnp.int32))
         return fwd
 
     base = timed("baseline", make_variant())
