@@ -195,7 +195,7 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
     if impl == "pallas":
         from .align_pallas import CHUNK, kernel_batch, pad_template
 
-        kb = kernel_batch()
+        kb = kernel_batch(signals.shape[0])
         B, N = signals.shape
         bpad = (-B) % kb
         npad = (-N) % CHUNK

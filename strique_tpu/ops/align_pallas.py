@@ -33,13 +33,18 @@ from .reference import AlignParams
 NEG = -1e30  # python float: pallas kernels must not capture array constants
 BATCH = 8       # interpret-mode (CPU test) batch; TPU uses BATCH_TPU
 BATCH_TPU = 32  # int8 sublane tile: enables direct pointer stores (no f32
-                # scratch) and 4x the vector work per serial DP step
+                # scratch) and 4x the vector work per serial DP step.
+                # Measured optimum: B=64 is ~1.85x the per-call time (issue-
+                # bound; corrected for the probe's flat D2H sync latency)
+                # and -11% end-to-end (tools/profile_align_cost.py + bench);
+                # B=128 exceeds the 16 MB scoped-VMEM limit.
 CHUNK = 128
 LANE = 128
 
 
-def kernel_batch() -> int:
-    """Per-call read batch for the current backend."""
+def kernel_batch(b: int | None = None) -> int:
+    """Per-call read batch for the current backend (``b``: caller's group
+    size; currently one TPU size fits all — see BATCH_TPU note)."""
     import jax
 
     return BATCH_TPU if jax.default_backend() == "tpu" else BATCH

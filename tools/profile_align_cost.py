@@ -44,17 +44,35 @@ def main():
     na = jnp.asarray(np.full(B, N - 64, np.int32))
     tmpl_padded, m = AP.pad_template(tmpl)
 
-    def timed(name, fwd):
+    def run_once(fwd):
         ptr, bottom = fwd(sig, na, jnp.asarray(tmpl_padded), params, m)
-        np.asarray(bottom)  # sync
+        # axon: only D2H synchronizes; a scalar reduction forces the kernel
+        # without paying the 3 MB bottom-row download that would mask it
+        np.asarray(jnp.sum(bottom))
+
+    # the scalar sync itself costs a flat ~20 ms D2H round trip on the
+    # tunnel; measure and subtract it or every share reads ~2x too small
+    # (this artifact originally made B=64 look 1.33x -- it is ~neutral)
+    tiny = jnp.ones((8, 128))
+    np.asarray(jnp.sum(tiny))
+    sync_samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(jnp.sum(tiny))
+        sync_samples.append(time.perf_counter() - t0)
+    sync_cost = min(sync_samples)
+    print(f"flat sync cost   {sync_cost*1e3:8.1f} ms (subtracted)")
+
+    def timed(name, fwd, reps=5):
+        run_once(fwd)  # compile + warm
         ts = []
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            ptr, bottom = fwd(sig, na, jnp.asarray(tmpl_padded), params, m)
-            np.asarray(bottom)
+            run_once(fwd)
             ts.append(time.perf_counter() - t0)
-        print(f"{name:16s} {min(ts)*1e3:8.1f} ms")
-        return min(ts)
+        t = min(ts) - sync_cost
+        print(f"{name:16s} {t*1e3:8.1f} ms")
+        return t
 
     def make_variant(no_pow=False, no_cummax=False, no_ptr=False):
         """Clone of AP._align_kernel with pieces ablated (timing only)."""
@@ -175,6 +193,27 @@ def main():
     print(f"\npow share:     {(base - nopow) / base * 100:5.1f}%")
     print(f"cummax share:  {(base - nocm) / base * 100:5.1f}%")
     print(f"pointer share: {(base - noptr) / base * 100:5.1f}%")
+
+    # latency-vs-issue check: if the serial column chain (not issue slots)
+    # binds, doubling the per-kernel batch is nearly free
+    for mult in (2, 4):
+        Bw = B * mult
+        sigw = jnp.asarray(rng.uniform(70, 110, (Bw, N)).astype(np.float32))
+        naw = jnp.asarray(np.full(Bw, N - 64, np.int32))
+
+        def run_wide(fwd=make_variant(), s=sigw, n=naw):
+            ptr, bottom = fwd(s, n, jnp.asarray(tmpl_padded), params, m)
+            np.asarray(jnp.sum(bottom))
+
+        run_wide()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run_wide()
+            ts.append(time.perf_counter() - t0)
+        w = min(ts) - sync_cost
+        print(f"B={Bw:3d}: {w*1e3:8.1f} ms  ({w/base:.2f}x time for {mult}x reads -> "
+              f"{mult/ (w/base):.2f}x throughput)")
 
 
 if __name__ == "__main__":
