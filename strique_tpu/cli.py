@@ -46,6 +46,13 @@ def cmd_count(argv) -> int:
     parser.add_argument("--devices", default="auto",
                         help="Data-parallel device count: 'auto' shards read batches over "
                              "all local accelerator devices; an integer caps it; 1 runs single-device")
+    parser.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                        help="Multi-host: coordinator address (with --num_hosts/--host_id); "
+                             "omit on clusters jax detects from the environment")
+    parser.add_argument("--num_hosts", type=int, default=None,
+                        help="Multi-host: total process count")
+    parser.add_argument("--host_id", type=int, default=None,
+                        help="Multi-host: this process' index (0-based)")
     parser.add_argument("--resume", action="store_true",
                         help="Append to --out, skipping read IDs already counted")
     parser.add_argument("--profile", default=None, metavar="DIR",
@@ -82,7 +89,8 @@ def cmd_count(argv) -> int:
     # SAM stream; per-host TSV shards concatenate to the final output
     # (same unordered-collector semantics as the reference,
     # reference scripts/STRique.py:778-802)
-    rank = init_distributed()
+    rank = init_distributed(coordinator=args.coordinator,
+                            num_processes=args.num_hosts, process_id=args.host_id)
     world = jax.process_count()
 
     if args.devices == "auto":

@@ -28,7 +28,9 @@ import numpy as np
 
 from .reference import AlignParams, MAT_M, MAT_H, MAT_V
 
-NEG = jnp.float32(-1e30)
+# plain numpy scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() ordering
+NEG = np.float32(-1e30)
 
 
 @partial(jax.jit, static_argnames=("params", "with_traceback"))

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.float32(-1e30)
+# plain numpy scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize() ordering
+NEG = np.float32(-1e30)
 _LOG2PI = float(np.log(2.0 * np.pi))
 
 

@@ -56,8 +56,11 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     """
     import os
 
-    if jax.process_count() > 1:
-        return jax.process_index()  # already initialized
+    # NB: the idempotency guard must not be jax.process_count() — that
+    # call itself initializes the XLA backend, after which initialize()
+    # refuses to run
+    if jax.distributed.is_initialized():
+        return jax.process_index()
     explicit = coordinator is not None or num_processes is not None
     env_cluster = any(os.environ.get(k) for k in (
         "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
