@@ -246,10 +246,12 @@ class Fast5Index:
                 for _, loc in members:
                     shutil.copy(src, output)
             elif kind == TAR:
-                wanted = {loc.member for _, loc in members}
+                # exact-path match: a read ID that is a substring of
+                # another member path must not over-extract
+                wanted = {os.path.normpath(loc.member) for _, loc in members}
                 with tarfile.open(src) as archive:
                     for member in archive.getmembers():
-                        if any(w in member.name for w in wanted):
+                        if os.path.normpath(member.name) in wanted:
                             member.name = os.path.basename(member.name)
                             archive.extract(member, path=output, filter="data")
             else:  # BULK

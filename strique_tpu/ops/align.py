@@ -260,19 +260,21 @@ def _nearest_positions(is_gap: np.ndarray, jpos: np.ndarray, n: int) -> np.ndarr
     """
     m = len(jpos)
     pos = jpos.astype(np.int64).copy()
-    k = 0
-    while k < m:
-        if not is_gap[k]:
-            k += 1
-            continue
-        k2 = k
-        while k2 + 1 < m and is_gap[k2 + 1] and jpos[k2 + 1] == jpos[k]:
-            k2 += 1
-        L = k2 - k + 1
-        jleft = int(jpos[k])
-        for r in range(L):
-            pos[k + r] = jleft if (r + 1) <= (L - r) else jleft + 1
-        k = k2 + 1
+    g = np.asarray(is_gap, dtype=bool)
+    if g.any():
+        # a gap run starts where the predecessor is non-gap or maps to a
+        # different left neighbor; offsets within each run decide the
+        # argmin tie-break (vectorized — the scalar run walk was a
+        # per-read host hot spot in the two-phase decode path)
+        jp = jpos.astype(np.int64)
+        start = g & ~(np.concatenate(([False], g[:-1]))
+                      & (np.concatenate(([np.int64(-1)], jp[:-1])) == jp))
+        run_id = np.cumsum(start) - 1  # valid where g
+        starts_idx = np.flatnonzero(start)
+        lengths = np.bincount(run_id[g])
+        r = np.arange(m) - starts_idx[np.maximum(run_id, 0)]
+        L = lengths[np.maximum(run_id, 0)]
+        pos[g] = np.where((r + 1) <= (L - r), jp, jp + 1)[g]
     return np.clip(pos, 0, n - 1)
 
 

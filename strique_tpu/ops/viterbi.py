@@ -275,13 +275,11 @@ def mod_pattern(path: np.ndarray, t_actual: int, chm) -> str:
     path = np.asarray(path)[:t_actual]
     anchor = chm.meta["anchor_states"][path]
     mod = chm.meta["mod_states"][path]
-    out = []
-    in_unit = False
-    for t in range(len(path)):
-        if anchor[t]:
-            in_unit = False
-            continue
-        if not in_unit:
-            out.append("1" if mod[t] else "0")
-            in_unit = True
-    return "".join(out)
+    # a unit starts at each non-anchor sample whose predecessor is an
+    # anchor (or at t=0); its first state decides the call — vectorized
+    # (per-sample Python iteration was an O(T)-per-read host hot spot on
+    # 40k-sample repeat segments)
+    in_unit = ~anchor
+    starts = in_unit & ~np.concatenate(([False], in_unit[:-1]))
+    bits = mod[starts].astype(np.uint8) + ord("0")
+    return bits.tobytes().decode("ascii")

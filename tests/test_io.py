@@ -139,3 +139,29 @@ def test_intersect_targets():
     assert intersect_targets(sr2, loci) == []
     sr3 = SamRecord(QNAME="x", RNAME="chr1", POS=27541232, TLEN=40000)
     assert intersect_targets(sr3, loci) == []
+
+
+def test_tar_extract_exact_member_match(tmp_path):
+    """A member path that is a substring of another must not over-extract."""
+    sigs = {"a.fast5": np.arange(10, dtype=np.int16),
+            "sub/a.fast5": np.arange(20, dtype=np.int16)}
+    work = tmp_path / "work"
+    os.makedirs(work / "sub")
+    rids = {}
+    for arc, sig in sigs.items():
+        rid = f"rid-{arc.replace('/', '-')}"
+        make_single_f5(work / arc, rid, sig)
+        rids[arc] = rid
+    tar = tmp_path / "batch.tar"
+    with tarfile.open(tar, "w") as tf:
+        for arc in sigs:
+            tf.add(work / arc, arcname=arc)
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("".join(f"batch.tar/{arc}\t{rid}\n" for arc, rid in rids.items()))
+    idx = fast5.Fast5Index(str(fofn))
+    out = tmp_path / "out"
+    # request only the shallow member whose path is a suffix of the deep one
+    idx.materialize_reads([rids["a.fast5"]], str(out))
+    assert sorted(os.listdir(out)) == ["a.fast5"]
+    np.testing.assert_array_equal(fast5._read_signal(str(out / "a.fast5")),
+                                  sigs["a.fast5"])

@@ -88,3 +88,35 @@ def test_mod_pattern_decode():
     # s0 base base e0 s0 mod e0 s0 base e0
     path = np.array([0, 2, 2, 1, 0, 3, 1, 0, 2, 1])
     assert mod_pattern(path, len(path), chm) == "010"
+
+def test_mod_pattern_vectorized_matches_scalar():
+    """Randomized parity: the vectorized decode == the per-sample walk."""
+    from strique_tpu.hmm.graph import CompiledHMM
+    from strique_tpu.ops.viterbi import mod_pattern
+
+    rng = np.random.default_rng(7)
+    names = ["s0", "e0", "base0m", "mod0m"]
+    chm = CompiledHMM(names=names, log_start=np.zeros(4), log_trans=np.zeros((4, 4)),
+                      log_end=np.zeros(4), mu=np.zeros(4), sigma=np.ones(4),
+                      is_uniform=np.zeros(4, bool), log_uni=np.zeros(4),
+                      meta={"anchor_states": np.array([True, True, False, False]),
+                            "mod_states": np.array([False, False, False, True])})
+
+    def scalar(path, t_actual):
+        path = np.asarray(path)[:t_actual]
+        anchor = chm.meta["anchor_states"][path]
+        mod = chm.meta["mod_states"][path]
+        out, in_unit = [], False
+        for t in range(len(path)):
+            if anchor[t]:
+                in_unit = False
+                continue
+            if not in_unit:
+                out.append("1" if mod[t] else "0")
+                in_unit = True
+        return "".join(out)
+
+    for _ in range(50):
+        t = int(rng.integers(1, 200))
+        path = rng.integers(0, 4, t)
+        assert mod_pattern(path, t, chm) == scalar(path, t)
