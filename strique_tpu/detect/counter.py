@@ -358,8 +358,15 @@ class RepeatCounter:
         import jax.numpy as jnp
 
         # the batch dimension shards over the mesh's data axis: pad to a
-        # multiple of its size (dummy rows are length-1 reads, gated out)
-        Bp = B + (-B) % self._data_parallel_degree()
+        # multiple of its size (dummy rows are length-1 reads, gated out).
+        # Rounding to 8 as well bounds the set of compiled pipeline shapes
+        # (tail batches of arbitrary size otherwise each compile fresh)
+        # and matches the align/Viterbi kernels' minimum sublane width.
+        import math
+
+        dp = self._data_parallel_degree()
+        step = 8 * dp // math.gcd(8, dp)
+        Bp = -(-B // step) * step
         n_sigs_p = np.ones(Bp, dtype=np.int32)
         n_sigs_p[:B] = n_sigs
 

@@ -30,13 +30,63 @@ from collections import deque
 from ..utils.logging import LogLevel, log
 from .counter import signal_bucket
 
+# Close-time merge cost model (units: align-kernel column-time at width 32).
+# A batch of n reads at pad bucket ``b`` costs b x the per-call width factor
+# (measured ~0.17 + 0.026*B per call, tools/profile_align_cost.py) plus a
+# flat per-batch charge for dispatch + the tunnel's ~20 ms transfer latency.
+FIXED_BATCH_COST = 16384
+
+
+def _batch_cost(bucket: int, n: int) -> float:
+    full, rem = divmod(n, 32)
+    factor = float(full)
+    if rem:
+        factor += 0.17 + 0.026 * max(8, -(-rem // 8) * 8)
+    return bucket * factor + FIXED_BATCH_COST
+
+
+def plan_merged_batches(groups: list[tuple[int, int]]) -> list[list[int]]:
+    """Partition per-bucket tail groups into merged batches.
+
+    ``groups``: (bucket, count) pairs.  Reads of a smaller bucket may pad
+    up into a larger one when that beats a separate partial batch (an
+    11-read 12k flush + an 8-read 14k flush is worse than one 19-read 14k
+    batch).  Only bucket-ascending contiguous ranges can merge (cost is
+    set by the range's max bucket).  Returns one list of original
+    ``groups`` indices per merged batch; exact interval DP over the
+    bucket-ascending order, O(k^2) for k buckets.
+    """
+    order = sorted(range(len(groups)), key=lambda i: groups[i][0])
+    k = len(order)
+    if k == 0:
+        return []
+    best = [0.0] * (k + 1)  # best[j] = min cost of covering order[:j]
+    cut = [0] * (k + 1)
+    for j in range(1, k + 1):
+        best[j] = float("inf")
+        n = 0
+        for i in range(j - 1, -1, -1):  # batch = order[i:j], bucket = order[j-1]
+            n += groups[order[i]][1]
+            c = best[i] + _batch_cost(groups[order[j - 1]][0], n)
+            if c < best[j]:
+                best[j], cut[j] = c, i
+    out = []
+    j = k
+    while j > 0:
+        i = cut[j]
+        out.append([order[t] for t in range(i, j)])
+        j = i
+    out.reverse()
+    return out
+
 
 class StreamScheduler:
     """Groups (target, strand, signal) submissions into full device batches.
 
     on_result(ctx, out) fires once per submitted read, where ``out`` is
-    the counter's 7-tuple or ``None`` when the read's batch failed
-    (per-batch fault isolation, reference STRique.py:764-768).
+    the counter's 7-tuple or ``None`` when that read failed.  A batch
+    failure triggers a per-read retry, so a poisoned read never voids
+    its batchmates (per-read fault isolation, reference STRique.py:764-768).
     """
 
     def __init__(self, counter, on_result, batch_size: int = 64,
@@ -61,10 +111,27 @@ class StreamScheduler:
             self._flush(max(self.queues, key=lambda k: len(self.queues[k])))
 
     def close(self) -> None:
-        """Flush all partial queues and drain every in-flight batch."""
-        # largest first: the tail partial batches overlap each other's work
-        for key in sorted(self.queues, key=lambda k: -len(self.queues[k])):
-            self._flush(key)
+        """Flush all partial queues (bucket-merged) and drain in-flight batches.
+
+        Remainder queues of one (target, strand) merge across pad buckets
+        when the cost model says padding short reads up to a longer
+        bucket beats separate partial batches (:func:`plan_merged_batches`)
+        — the end-of-stream tail of a ragged run is otherwise all partial
+        flushes.
+        """
+        by_ts: dict[tuple, list] = {}
+        for (target_name, strand, bucket) in self.queues:
+            by_ts.setdefault((target_name, strand), []).append(bucket)
+        for (target_name, strand), buckets in sorted(
+                by_ts.items(), key=lambda kv: -sum(len(self.queues[(*kv[0], b)]) for b in kv[1])):
+            keys = [(target_name, strand, b) for b in sorted(buckets)]
+            groups = [(b, len(self.queues[(target_name, strand, b)])) for b in sorted(buckets)]
+            for batch_idxs in plan_merged_batches(groups):
+                items = []
+                for gi in batch_idxs:
+                    items.extend(self.queues.pop(keys[gi]))
+                self.n_queued -= len(items)
+                self._submit(target_name, strand, items)
         while self.inflight:
             self._drain_one()
 
@@ -73,21 +140,25 @@ class StreamScheduler:
         target_name, strand, _bucket = key
         items = self.queues.pop(key)
         self.n_queued -= len(items)
+        self._submit(target_name, strand, items)
+
+    def _submit(self, target_name: str, strand: str, items: list) -> None:
         try:
             state = self.counter.detect_submit(
                 target_name, [raw for _, raw in items], strand)
         except KeyboardInterrupt:
             raise
         except Exception:
-            log("Factory: Unexpected error in batch submit, proceeding.\n"
+            log("Factory: Unexpected error in batch submit, retrying reads "
+                "individually.\n"
                 + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
             state = None
-        self.inflight.append((items, state))
+        self.inflight.append((target_name, strand, items, state))
         while len(self.inflight) > self.depth:
             self._drain_one()
 
     def _drain_one(self) -> None:
-        items, state = self.inflight.popleft()
+        target_name, strand, items, state = self.inflight.popleft()
         outs = None
         if state is not None:
             try:
@@ -95,7 +166,23 @@ class StreamScheduler:
             except KeyboardInterrupt:
                 raise
             except Exception:
-                log("Factory: Unexpected error in batch, proceeding with remaining reads.\n"
+                log("Factory: Unexpected error in batch, retrying reads "
+                    "individually.\n"
                     + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
-        for i, (ctx, _raw) in enumerate(items):
-            self.on_result(ctx, outs[i] if outs is not None else None)
+        if outs is not None:
+            for i, (ctx, _raw) in enumerate(items):
+                self.on_result(ctx, outs[i])
+            return
+        # per-read retry: one poisoned read costs only itself, matching the
+        # reference's fault-isolation contract (scripts/STRique.py:764-768)
+        for ctx, raw in items:
+            out = None
+            try:
+                out = self.counter.detect(target_name, raw, strand)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in read retry, proceeding with "
+                    "remaining reads.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+            self.on_result(ctx, out)

@@ -197,19 +197,25 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
     if impl == "pallas":
         from .align_pallas import CHUNK, kernel_batch, pad_template
 
-        kb = kernel_batch(signals.shape[0])
         B, N = signals.shape
-        bpad = (-B) % kb
         npad = (-N) % CHUNK
-        if bpad or npad:
-            signals = jnp.pad(signals, ((0, bpad), (0, npad)))
-            n_actual = jnp.pad(n_actual, (0, bpad), constant_values=1)
+        if npad:
+            signals = jnp.pad(signals, ((0, 0), (0, npad)))
         tmpl_padded, m = pad_template(np.asarray(template_np))
+        tmpl_dev = jnp.asarray(tmpl_padded)
         outs = []
-        for b0 in range(0, signals.shape[0], kb):
-            outs.append(_align_batch_pallas(
-                signals[b0:b0 + kb], n_actual[b0:b0 + kb],
-                jnp.asarray(tmpl_padded), params, m))
+        b0 = 0
+        while b0 < B:
+            # full groups at the 32-wide kernel; the tail at the smallest
+            # covering width (8/16/24) so partial batches don't pay full price
+            kb = kernel_batch(B - b0)
+            end = b0 + kb
+            sl, na = signals[b0:end], n_actual[b0:end]
+            if end > B:
+                sl = jnp.pad(sl, ((0, end - B), (0, 0)))
+                na = jnp.pad(na, (0, end - B), constant_values=1)
+            outs.append(_align_batch_pallas(sl, na, tmpl_dev, params, m))
+            b0 = end
         out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
         return out
     template = jnp.asarray(template_np, jnp.float32)

@@ -43,11 +43,20 @@ LANE = 128
 
 
 def kernel_batch(b: int | None = None) -> int:
-    """Per-call read batch for the current backend (``b``: caller's group
-    size; currently one TPU size fits all — see BATCH_TPU note)."""
+    """Per-call read batch for the current backend.
+
+    ``b``: remaining group size.  Full groups run at BATCH_TPU; partial
+    tails run at the smallest multiple of 8 that covers them — per-call
+    time is ~(0.17 + 0.026·B)·t32 (tools/profile_align_cost.py), so an
+    8-wide tail call costs ~0.38x a 32-wide one.
+    """
     import jax
 
-    return BATCH_TPU if jax.default_backend() == "tpu" else BATCH
+    if jax.default_backend() != "tpu":
+        return BATCH
+    if b is None or b >= BATCH_TPU:
+        return BATCH_TPU
+    return max(8, -(-int(b) // 8) * 8)
 
 
 def _round_up(x: int, m: int) -> int:

@@ -75,3 +75,35 @@ def test_golden_count_pipeline(golden_dir):
     assert abs(ss - GOLDEN["score_suffix"]) / GOLDEN["score_suffix"] < 0.01
     assert abs(logp - GOLDEN["log_p"]) / abs(GOLDEN["log_p"]) < 0.02
     assert cols[9] == "-"
+
+
+def test_golden_count_pipeline_compat(golden_dir):
+    """The opt-in pomegranate_compat mode is pinned too: the framework's
+    DEFAULT is the literal-graph semantics (documented in PARITY.md), and
+    this asserts the compat mode's documented golden outputs (count 734,
+    log_p -119864.6) so neither semantics can drift unnoticed."""
+    import json
+
+    from strique_tpu.cli import main
+
+    fofn = golden_dir / "reads.fofn"
+    if not fofn.exists():
+        pytest.skip("default golden test must run first (module fixture order)")
+    with open(PARAMS_JSON) as fp:
+        cfg = json.load(fp)
+    cfg["HMM"]["pomegranate_compat"] = True
+    compat_json = golden_dir / "compat.json"
+    compat_json.write_text(json.dumps(cfg))
+
+    out = golden_dir / "counts_compat.tsv"
+    rc = main(["count", str(fofn), MODEL, REPEAT_TSV,
+               "--algn", os.path.join(DATA, "c9orf72.sam"),
+               "--config", str(compat_json), "--out", str(out), "--devices", "1"])
+    assert rc == 0
+    cols = out.read_text().strip().split("\n")[1].split("\t")
+    assert cols[0] == GOLDEN["ID"]
+    count, logp = int(cols[3]), float(cols[6])
+    offset, ticks = int(cols[7]), int(cols[8])
+    assert offset == GOLDEN["offset"] and ticks == GOLDEN["ticks"]
+    assert count == 734  # PARITY.md: compat mode golden count
+    assert abs(logp - (-119864.6)) < 5.0

@@ -303,3 +303,86 @@ def test_index_recursive_and_prefix(tmp_path):
     assert rec == [f"a/b/r.fast5\trec-read-1"]
     pref = list(fast5.index(str(tmp_path), recursive=True, output_prefix="runX"))
     assert pref == [f"runX/a/b/r.fast5\trec-read-1"]
+
+
+def test_plan_merged_batches():
+    from strique_tpu.detect.stream import plan_merged_batches, _batch_cost
+
+    # never worse than singleton flushes, covers every group exactly once
+    cases = [
+        [(12288, 7), (14336, 11), (20480, 10), (40960, 36), (98304, 19), (114688, 13)],
+        [(2048, 1)],
+        [(1024, 32), (1 << 20, 32)],   # merging can't help: keep separate
+        [],
+    ]
+    for groups in cases:
+        plan = plan_merged_batches(groups)
+        covered = sorted(i for batch in plan for i in batch)
+        assert covered == list(range(len(groups)))
+        planned = sum(_batch_cost(max(groups[i][0] for i in b),
+                                  sum(groups[i][1] for i in b)) for b in plan)
+        single = sum(_batch_cost(b, n) for b, n in groups)
+        assert planned <= single + 1e-9
+    assert plan_merged_batches([(1024, 32), (1 << 20, 32)]) == [[0], [1]]
+
+
+def test_stream_per_read_fault_isolation(synthetic_run):
+    """One poisoned read in a batch must cost only itself: the scheduler
+    retries the batch per read (reference STRique.py:764-768)."""
+    from strique_tpu.detect.counter import RepeatCounter
+    from strique_tpu.detect.stream import StreamScheduler
+
+    pm = PoreModel(MODEL)
+    counter = RepeatCounter(MODEL)
+    counter.add_target("c9", REPEAT, PREFIX, SUFFIX)
+    rng = np.random.default_rng(3)
+    bb = "".join(rng.choice(list("ACTG"), 700))
+    reads, expect = [], []
+    for i in range(7):
+        n = 10 + i
+        seq = bb[:350] + PREFIX + REPEAT * n + SUFFIX + bb[-350:]
+        reads.append(pm.generate_signal(seq, samples=8))
+        expect.append(n)
+    reads.insert(3, ["not-a-signal"])  # poisons np.asarray in submit
+    expect.insert(3, None)
+
+    res = {}
+    sched = StreamScheduler(counter, lambda ctx, out: res.__setitem__(ctx, out),
+                            batch_size=8)
+    for i, sig in enumerate(reads):
+        sched.add(i, "c9", "+", sig)
+    sched.close()
+    assert sorted(res) == list(range(8))
+    assert res[3] is None
+    for i, n in enumerate(expect):
+        if n is not None:
+            assert res[i] is not None and res[i][0] == n, (i, res[i])
+
+
+def test_stream_finish_failure_retries_per_read(synthetic_run, monkeypatch):
+    """A finish-time batch failure also falls back to per-read retry."""
+    from strique_tpu.detect.counter import RepeatCounter
+    from strique_tpu.detect.stream import StreamScheduler
+
+    pm = PoreModel(MODEL)
+    counter = RepeatCounter(MODEL)
+    counter.add_target("c9", REPEAT, PREFIX, SUFFIX)
+    rng = np.random.default_rng(4)
+    bb = "".join(rng.choice(list("ACTG"), 700))
+    reads = [pm.generate_signal(bb[:350] + PREFIX + REPEAT * (8 + i) + SUFFIX + bb[-350:],
+                                samples=8) for i in range(4)]
+
+    orig = RepeatCounter.detect_finish
+    def flaky(self, state):
+        if state["B"] > 1:
+            raise RuntimeError("injected batch failure")
+        return orig(self, state)
+    monkeypatch.setattr(RepeatCounter, "detect_finish", flaky)
+
+    res = {}
+    sched = StreamScheduler(counter, lambda ctx, out: res.__setitem__(ctx, out),
+                            batch_size=4)
+    for i, sig in enumerate(reads):
+        sched.add(i, "c9", "+", sig)
+    sched.close()
+    assert all(res[i] is not None and res[i][0] == 8 + i for i in range(4)), res

@@ -11,7 +11,8 @@ import pytest
 from strique_tpu.ops.align import align_scan
 from strique_tpu.ops.reference import AlignParams
 from strique_tpu.ops.viterbi import viterbi_scan
-from strique_tpu.parallel.mesh import batched_align, make_mesh, sharded_viterbi
+from strique_tpu.parallel.experimental import sharded_viterbi
+from strique_tpu.parallel.mesh import batched_align, make_mesh
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 
