@@ -323,25 +323,72 @@ def _write_signal(f5_file: str, signal: np.ndarray, base: str = "") -> None:
 
 
 # ---------------------------------------------------------------------------
-# container conversion
+# container conversion (ont_fast5_api-compatible layouts)
 # ---------------------------------------------------------------------------
 
+# The multi-read layout written here matches what ont_fast5_api's
+# single_to_multi converter produces (the reference extracts through it,
+# STRique_lib/fast5Index.py:96-135,195,216), so downstream nanopore tools
+# accept the output: root attr ``file_version`` = "2.0"; one
+# ``read_<read_id>`` group per read carrying attr ``run_id`` and the
+# subgroups ``Raw`` (read attrs + Signal dataset directly beneath) plus
+# ``channel_id`` / ``context_tags`` / ``tracking_id`` lifted out of the
+# single file's ``UniqueGlobalKey``.
+MULTI_FILE_VERSION = "2.0"
+_UGK_GROUPS = ("channel_id", "context_tags", "tracking_id")
+
+
+def _copy_attrs(src, dst) -> None:
+    for k, v in src.attrs.items():
+        dst.attrs[k] = v
+
+
 def multi_group_to_single(bulk: h5py.File, group: str, out_file: str) -> None:
-    """Copy one bulk read group into a standalone single-read fast5."""
+    """Copy one bulk read group into a standalone single-read fast5.
+
+    ont_fast5_api-shaped groups (Signal directly under ``Raw``) convert
+    to the canonical single layout (``Raw/Reads/Read_<n>`` +
+    ``UniqueGlobalKey``); anything else copies through unchanged.
+    """
+    g = bulk[group]
+    raw = g.get("Raw")
+    ont_shaped = isinstance(raw, h5py.Group) and isinstance(raw.get("Signal"), h5py.Dataset)
     with h5py.File(out_file, "w") as out:
-        for key in bulk[group]:
-            bulk.copy(bulk[group][key], out, name=key)
-        for k, v in bulk[group].attrs.items():
-            out.attrs[k] = v
+        if not ont_shaped:
+            for key in g:
+                bulk.copy(g[key], out, name=key)
+            _copy_attrs(g, out)
+            return
+        read_number = int(raw.attrs.get("read_number", 0))
+        read_grp = out.create_group(f"Raw/Reads/Read_{read_number}")
+        _copy_attrs(raw, read_grp)
+        bulk.copy(raw["Signal"], read_grp, name="Signal")
+        ugk = out.create_group("UniqueGlobalKey")
+        for name in _UGK_GROUPS:
+            sub = ugk.create_group(name)
+            if name in g:
+                _copy_attrs(g[name], sub)
 
 
 def singles_to_multi(f5_files, out_file: str) -> None:
-    """Pack single-read fast5 files into one multi-read fast5."""
+    """Pack single-read fast5 files into one ont-compatible multi-read fast5."""
     with h5py.File(out_file, "w") as out:
+        out.attrs["file_version"] = MULTI_FILE_VERSION
         for f5_file in f5_files:
             with h5py.File(f5_file, "r") as src:
                 grp = out.create_group(f"read_{read_id_single(f5_file)}")
-                for key in src:
-                    src.copy(src[key], grp, name=key)
-                for k, v in src.attrs.items():
-                    grp.attrs[k] = v
+                raw_holder = src["Raw"]
+                sig_rel = _signal_path(raw_holder)
+                sig = raw_holder[sig_rel]
+                raw_out = grp.create_group("Raw")
+                _copy_attrs(sig.parent, raw_out)
+                src.copy(sig, raw_out, name="Signal")
+                ugk = src.get("UniqueGlobalKey")
+                run_id = b""
+                for name in _UGK_GROUPS:
+                    if ugk is not None and name in ugk:
+                        sub = grp.create_group(name)
+                        _copy_attrs(ugk[name], sub)
+                        if name == "tracking_id" and "run_id" in ugk[name].attrs:
+                            run_id = ugk[name].attrs["run_id"]
+                grp.attrs["run_id"] = run_id

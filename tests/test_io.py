@@ -165,3 +165,85 @@ def test_tar_extract_exact_member_match(tmp_path):
     assert sorted(os.listdir(out)) == ["a.fast5"]
     np.testing.assert_array_equal(fast5._read_signal(str(out / "a.fast5")),
                                   sigs["a.fast5"])
+
+
+def make_ont_bulk_f5(path, reads):
+    """Build a bulk fast5 exactly as ont_fast5_api's converter lays it out."""
+    with h5py.File(path, "w") as f:
+        f.attrs["file_version"] = "2.0"
+        for rid, (sig, read_number) in reads.items():
+            g = f.create_group(f"read_{rid}")
+            g.attrs["run_id"] = np.bytes_(b"run0001")
+            raw = g.create_group("Raw")
+            raw.attrs["read_id"] = np.bytes_(rid.encode())
+            raw.attrs["read_number"] = np.uint32(read_number)
+            raw.attrs["duration"] = np.uint32(len(sig))
+            raw.create_dataset("Signal", data=sig.astype(np.int16))
+            for name in ("channel_id", "context_tags", "tracking_id"):
+                sub = g.create_group(name)
+            g["channel_id"].attrs["sampling_rate"] = np.float64(4000.0)
+            g["tracking_id"].attrs["run_id"] = np.bytes_(b"run0001")
+
+
+def test_ont_shaped_bulk_reads_and_converts(tmp_path):
+    """A bulk file in ont_fast5_api's exact layout indexes, reads back, and
+    converts to canonical single-read files."""
+    rng = np.random.default_rng(5)
+    reads = {f"ont-read-{i:04d}": (rng.integers(300, 900, 80 + i).astype(np.int16), 100 + i)
+             for i in range(3)}
+    bulk = tmp_path / "ontbatch.fast5"
+    make_ont_bulk_f5(bulk, reads)
+    assert fast5.is_multi_read(str(bulk))
+    lines = list(fast5.index(str(tmp_path)))
+    assert len(lines) == 3
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    for rid, (sig, _) in reads.items():
+        np.testing.assert_array_equal(idx.get_raw(rid), sig)
+    # bulk -> single: canonical layout (Raw/Reads/Read_<n> + UniqueGlobalKey)
+    out = tmp_path / "singles"
+    idx.extract(str(bulk), str(out), format="single")
+    for rid, (sig, read_number) in reads.items():
+        single = out / f"{rid}.fast5"
+        assert fast5.read_id_single(str(single)) == rid
+        with h5py.File(single) as f:
+            g = f[f"Raw/Reads/Read_{read_number}"]
+            np.testing.assert_array_equal(g["Signal"][()], sig)
+            assert g.attrs["read_number"] == read_number
+            assert f["UniqueGlobalKey/channel_id"].attrs["sampling_rate"] == 4000.0
+            assert f["UniqueGlobalKey/tracking_id"].attrs["run_id"] == b"run0001"
+
+
+def test_singles_to_multi_ont_layout(tmp_path):
+    """single -> multi emits ont_fast5_api's layout; real reference read
+    round-trips both directions."""
+    bulk = tmp_path / "packed.fast5"
+    fast5.singles_to_multi([DATA_F5], str(bulk))
+    with h5py.File(bulk) as f:
+        assert f.attrs["file_version"] == "2.0"
+        g = f[f"read_{GOLD_ID}"]
+        assert g.attrs["run_id"] == h5py.File(DATA_F5)["UniqueGlobalKey/tracking_id"].attrs["run_id"]
+        # ont shape: Signal directly under Raw, read attrs on Raw
+        assert isinstance(g["Raw/Signal"], h5py.Dataset)
+        assert g["Raw"].attrs["read_id"] == GOLD_ID.encode()
+        assert g["Raw"].attrs["read_number"] == 2628
+        for name in ("channel_id", "context_tags", "tracking_id"):
+            assert name in g
+        assert g["channel_id"].attrs["digitisation"] == 8192.0
+    # read back through the index machinery
+    lines = list(fast5.index(str(bulk)))
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(lines) + "\n")
+    idx = fast5.Fast5Index(str(fofn))
+    with h5py.File(DATA_F5) as f:
+        orig = f["Raw/Reads/Read_2628/Signal"][()]
+    np.testing.assert_array_equal(idx.get_raw(GOLD_ID), orig)
+    # multi -> single again: canonical single, identical signal
+    out = tmp_path / "unpacked"
+    idx.extract(str(bulk), str(out), format="single")
+    single = out / f"{GOLD_ID}.fast5"
+    assert fast5.read_id_single(str(single)) == GOLD_ID
+    with h5py.File(single) as f:
+        np.testing.assert_array_equal(f["Raw/Reads/Read_2628/Signal"][()], orig)
+        assert f["UniqueGlobalKey/channel_id"].attrs["offset"] == 49.0
