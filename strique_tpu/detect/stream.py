@@ -33,8 +33,11 @@ from .counter import signal_bucket
 # Close-time merge cost model (units: align-kernel column-time at width 32).
 # A batch of n reads at pad bucket ``b`` costs b x the per-call width factor
 # (measured ~0.17 + 0.026*B per call, tools/profile_align_cost.py) plus a
-# flat per-batch charge for dispatch + the tunnel's ~20 ms transfer latency.
-FIXED_BATCH_COST = 16384
+# flat per-batch charge for dispatch overheads.  Kept modest: dispatch and
+# transfer latencies largely overlap under the depth-2 pipeline, so only
+# same-scale buckets should merge (padding short reads up to a much longer
+# bucket costs real align columns and upload bytes).
+FIXED_BATCH_COST = 8192
 
 
 def _batch_cost(bucket: int, n: int) -> float:

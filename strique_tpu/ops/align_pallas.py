@@ -104,24 +104,48 @@ def _align_kernel(params: AlignParams, m_actual: int,
         aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
         diff = jnp.abs(aj - tmpl)
         sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
-        newM = shift1(S, NEG) + sc
+        # row-0 invariants ride for free: newIh[0] is a bounded garbage
+        # value (never read: Q pins row 0, its pointer lane wraps past the
+        # template), newIv[0] is NEG from the shift fill, and newS[0]
+        # recovers 0 from max(Q[0]=0, NEG).  When horizontal gap costs are
+        # negative (every real config) even Q's row-0 select folds away:
+        # filling the newM shift with -dmin makes newM[0] = -dmin + sc[0]
+        # = 0 exactly (the 1e30 template pad pins sc[0] to dmin), and
+        # newIh[0] stays < 0, so max(newM, newIh) already yields 0 at row 0
         ih_ext = Ih + ge_h
         ih_open = S + go_h
-        newIh = jnp.where(row0, NEG, jnp.maximum(ih_ext, ih_open))
-        Q = jnp.where(row0, 0.0, jnp.maximum(newM, newIh))
+        newIh = jnp.maximum(ih_ext, ih_open)
+        if params.gap_open_h < 0 and params.gap_extension_h <= 0:
+            newM = shift1(S, -params.dist_min) + sc
+            Q = jnp.maximum(newM, newIh)
+        else:
+            newM = shift1(S, NEG) + sc
+            Q = jnp.where(row0, 0.0, jnp.maximum(newM, newIh))
         cvec = Q + go_v - (lane_i + 1.0) * g
+        # two-level prefix max: log-doubling within each 128-lane block
+        # (shifts never cross a vector register) + a serial block carry of
+        # (batch, 1) splats — same max-sets as the flat doubling, so the
+        # result is bit-identical, at fewer cross-vreg lane shifts
+        nb = mp // LANE
+        blocks = [cvec[:, b * LANE : (b + 1) * LANE] for b in range(nb)]
         k = 1
-        while k < mp:  # prefix max along lanes (log-step doubling)
-            cvec = jnp.maximum(cvec, jnp.concatenate(
-                [jnp.full((batch, k), NEG, jnp.float32), cvec[:, :-k]], axis=1))
+        while k < LANE:
+            blocks = [jnp.maximum(x, jnp.concatenate(
+                [jnp.full((batch, k), NEG, jnp.float32), x[:, :-k]], axis=1))
+                for x in blocks]
             k *= 2
-        newIv = jnp.where(row0, NEG, shift1(cvec, NEG) + lane_i * g)
-        newS = jnp.maximum(jnp.maximum(newM, newIh), newIv)
-        newS = jnp.where(row0, 0.0, newS)
+        for b in range(1, nb):
+            blocks[b] = jnp.maximum(blocks[b], blocks[b - 1][:, LANE - 1 : LANE])
+        cvec = jnp.concatenate(blocks, axis=1) if nb > 1 else blocks[0]
+        newIv = shift1(cvec, NEG) + lane_i * g
+        newS = jnp.maximum(Q, newIv)
         # pointer bits: 0-1 best matrix (M=0,H=1,V=2), 2 Ih-extend, 3 Iv-extend
         which = jnp.where(newM >= newS, 0, jnp.where(newIv >= newS, 2, 1))
         ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
-        ivx = (shift1(newIv, NEG) + ge_v >= shift1(newS, 0.0) + go_v).astype(jnp.int32) << 3
+        # compare in place, then lane-shift the bit (one shift instead of
+        # two): row i's extend bit tests Iv[i-1]+ge_v >= S[i-1]+go_v, and
+        # the lane-0 fill of 0 reproduces the NEG-vs-0 comparison's False
+        ivx = shift1((newIv + ge_v >= newS + go_v).astype(jnp.int32), 0) << 3
         pbi = which | ihx | ivx
         # pack the 4-bit code at lane i-1 for row i (matches ops.align
         # layout) into nibble u of the running int32 plane — one aligned
