@@ -55,6 +55,16 @@ double mad_f64(const double* x, int64_t n) {
     return s / n;
 }
 
+// median + MAD in one pass over one scratch copy (the separate helpers each
+// re-copy and re-select; prep calls them back to back on the same channel).
+static void median_mad_f64(const double* x, int64_t n, double* med, double* mad) {
+    std::vector<double> v(x, x + n);
+    *med = median_inplace(v);
+    double s = 0;
+    for (int64_t i = 0; i < n; ++i) s += std::fabs(x[i] - *med);
+    *mad = s / n;
+}
+
 double median_f64(const double* x, int64_t n) {
     std::vector<double> v(x, x + n);
     return median_inplace(v);
@@ -62,15 +72,27 @@ double median_f64(const double* x, int64_t n) {
 
 // Windowed min/max with clip-to-valid borders; erosion window [-l, w-1-l],
 // dilation [-(w-1-l), +l] (scipy.ndimage grey ops, even footprint).
+// Monotonic-deque sliding extremum: amortized O(1)/sample regardless of the
+// window width (the naive scan is O(w)/sample and was ~30% of prep time).
+// Pure selection — bit-identical to the direct min/max scan.
 static void win_reduce(const double* x, int64_t n, int left, int right, bool is_min,
                        double* out) {
+    if (n == 0) return;
+    std::vector<int64_t> dq(n);
+    int64_t head = 0, tail = 0;  // dq[head..tail) = candidate indices
+    int64_t next = 0;            // next index to admit
     for (int64_t i = 0; i < n; ++i) {
-        int64_t a = std::max<int64_t>(0, i - left);
-        int64_t b = std::min<int64_t>(n - 1, i + right);
-        double v = x[a];
-        for (int64_t k = a + 1; k <= b; ++k)
-            v = is_min ? std::min(v, x[k]) : std::max(v, x[k]);
-        out[i] = v;
+        int64_t hi = std::min<int64_t>(n - 1, i + right);
+        for (; next <= hi; ++next) {
+            if (is_min) {
+                while (tail > head && x[dq[tail - 1]] >= x[next]) --tail;
+            } else {
+                while (tail > head && x[dq[tail - 1]] <= x[next]) --tail;
+            }
+            dq[tail++] = next;
+        }
+        while (dq[head] < i - left) ++head;
+        out[i] = x[dq[head]];
     }
 }
 
@@ -92,19 +114,36 @@ void morph_open_close_f64(const double* flt, int64_t n, double med, double mad,
 
 // Tail medians for minmax normalization (reference STRique.py:152-158).
 // Returns m5 and m95: medians of the <1st / >99th percentile tails.
+// Selection-based: only the ~n/100 elements of each tail are ever sorted
+// (two nth_element partitions + two tiny sorts), replacing the full
+// O(n log n) sort that dominated per-read prep.  Every output is an exact
+// function of order statistics, so results are bit-identical to the
+// sort-everything version.
 void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
     std::vector<double> v(x, x + n);
-    std::sort(v.begin(), v.end());
-    auto pct = [&](double q) {
+    // percentile anchor positions (numpy linear interpolation)
+    auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
         double pos = (n - 1) * q / 100.0;
-        int64_t lo = (int64_t)std::floor(pos);
-        int64_t hi = std::min(lo + 1, n - 1);
-        double w = pos - lo;
-        return v[lo] * (1.0 - w) + v[hi] * w;
+        *lo = (int64_t)std::floor(pos);
+        *hi = std::min(*lo + 1, n - 1);
+        *w = pos - *lo;
     };
-    double q5 = pct(1.0), q95 = pct(99.0);
-    int64_t c5 = std::lower_bound(v.begin(), v.end(), q5) - v.begin();
-    int64_t c95 = n - (std::upper_bound(v.begin(), v.end(), q95) - v.begin());
+    int64_t lo1, hi1, lo99, hi99;
+    double w1, w99;
+    anchor(1.0, &lo1, &hi1, &w1);
+    anchor(99.0, &lo99, &hi99, &w99);
+    // partition: ranks [0, hi1] at the front, ranks [lo99, n) at the back
+    std::nth_element(v.begin(), v.begin() + hi1, v.end());
+    std::sort(v.begin(), v.begin() + hi1 + 1);
+    std::nth_element(v.begin() + hi1 + 1, v.begin() + std::max(lo99, hi1 + 1), v.end());
+    std::sort(v.begin() + std::max(lo99, hi1 + 1), v.end());
+    double q5 = v[lo1] * (1.0 - w1) + v[hi1] * w1;
+    double q95 = v[lo99] * (1.0 - w99) + v[hi99] * w99;
+    // q5 <= v[hi1], so every element < q5 lies in the sorted front block;
+    // q95 >= v[lo99], so every element > q95 lies in the sorted back block.
+    int64_t c5 = std::lower_bound(v.begin(), v.begin() + hi1 + 1, q5) - v.begin();
+    int64_t back = std::max(lo99, hi1 + 1);
+    int64_t c95 = n - (std::upper_bound(v.begin() + back, v.end(), q95) - v.begin());
     *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
     *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
 }
@@ -115,8 +154,8 @@ void preprocess_read(const double* raw, int64_t n, const double* model,
                      double* morph_n, double* flt_n) {
     std::vector<double> flt(n), morph(n);
     medfilt3_f64(raw, n, flt.data());
-    double med = median_f64(flt.data(), n);
-    double mad = mad_f64(flt.data(), n);
+    double med, mad;
+    median_mad_f64(flt.data(), n, &med, &mad);
     morph_open_close_f64(flt.data(), n, med, mad, morph.data());
     auto norm = [&](const double* ch, double* out) {
         double m5, m95;
@@ -141,8 +180,8 @@ void preprocess_read_lut(const double* raw, int64_t n, const double* model,
                          float* lut256) {
     std::vector<double> flt(n), morph(n);
     medfilt3_f64(raw, n, flt.data());
-    double med = median_f64(flt.data(), n);
-    double mad = mad_f64(flt.data(), n);
+    double med, mad;
+    median_mad_f64(flt.data(), n, &med, &mad);
     morph_open_close_f64(flt.data(), n, med, mad, morph.data());
     auto affine = [&](const double* ch) {
         double m5, m95;
