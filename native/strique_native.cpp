@@ -70,6 +70,15 @@ double median_f64(const double* x, int64_t n) {
     return median_inplace(v);
 }
 
+// np.clip semantics: NaN propagates (std::min/max would clamp it to a
+// bound, silently diverging from the NumPy reference on degenerate
+// signals whose percentile tails are empty).
+static inline double clip_np(double v, double lo, double hi) {
+    if (v < lo) return lo;
+    if (v > hi) return hi;
+    return v;  // covers NaN
+}
+
 // Windowed min/max with clip-to-valid borders; erosion window [-l, w-1-l],
 // dilation [-(w-1-l), +l] (scipy.ndimage grey ops, even footprint).
 // Monotonic-deque sliding extremum: amortized O(1)/sample regardless of the
@@ -164,7 +173,7 @@ void preprocess_read(const double* raw, int64_t n, const double* model,
         double half_mod = (model[1] - model[0]) / 2.0, mid_mod = model[0] + half_mod;
         double scale = half_mod / half_sig, off = mid_mod - mid_sig * scale;
         for (int64_t i = 0; i < n; ++i)
-            out[i] = std::min(model[3], std::max(model[2], ch[i] * scale + off));
+            out[i] = clip_np(ch[i] * scale + off, model[2], model[3]);
     };
     norm(morph.data(), morph_n);
     norm(flt.data(), flt_n);
@@ -195,10 +204,10 @@ void preprocess_read_lut(const double* raw, int64_t n, const double* model,
     for (int64_t i = 0; i < n; ++i)
         q_out[i] = (uint8_t)morph[i];  // open/close of floor-bins stays in 0..255
     for (int v = 0; v < 256; ++v)
-        lut256[v] = (float)std::min(model[3], std::max(model[2], v * mo.first + mo.second));
+        lut256[v] = (float)clip_np(v * mo.first + mo.second, model[2], model[3]);
     auto fo = affine(flt.data());
     for (int64_t i = 0; i < n; ++i) {
-        double v = std::min(model[3], std::max(model[2], flt[i] * fo.first + fo.second));
+        double v = clip_np(flt[i] * fo.first + fo.second, model[2], model[3]);
         flt64[i] = v;
         flt32[i] = (float)v;
     }

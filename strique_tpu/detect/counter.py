@@ -78,6 +78,29 @@ def _unpack_upload(buf):
     return morph, flt
 
 
+def _morph_buf_bytes(npad: int) -> int:
+    """Morph-only upload row size: [LUT f32 | morph u8] — 1 byte/sample.
+
+    The split pipeline's phase-1 upload: the flt channel stays on host
+    (Viterbi only ever consumes the short repeat segment, so shipping
+    full-length float32 flt — 80% of the fused buffer's bytes — is
+    wasted transfer on long reads).
+    """
+    return 4 * _LUT_LEVELS + npad
+
+
+def _unpack_morph_upload(buf):
+    """Byte buffer (B, _morph_buf_bytes(npad)) -> morph device channel."""
+    import jax
+    import jax.numpy as jnp
+
+    B = buf.shape[0]
+    lut = jax.lax.bitcast_convert_type(
+        buf[:, : 4 * _LUT_LEVELS].reshape(B, _LUT_LEVELS, 4), jnp.float32)
+    idx = buf[:, 4 * _LUT_LEVELS :].astype(jnp.int32)
+    return jnp.take_along_axis(lut, idx, axis=1)
+
+
 def reverse_complement(sequence: str) -> str:
     return sequence.upper().translate(_COMPLEMENT)[::-1]
 
@@ -146,6 +169,15 @@ class RepeatCounter:
         # align dispatch (one packed D2H per batch), single-device and
         # mesh-sharded alike; flip off to use the two-phase host-bounds path
         self.fused = True
+        # split: three-phase pipeline — align on the 1-byte/sample morph
+        # upload with device-side bounds (40-byte/read D2H), then Viterbi
+        # on host-sliced repeat segments only.  ~4x fewer H2D bytes than
+        # the fused path on realistic reads (flt f32 is 80% of the fused
+        # buffer but Viterbi needs only the repeat segment); bit-identical
+        # results.  Default on; STRIQUE_SPLIT=0 falls back to fused.
+        import os as _os
+
+        self.split = _os.environ.get("STRIQUE_SPLIT", "1") != "0"
         self._dev_cache: dict = {}
         self._pool = None  # lazy host-preprocessing thread pool
         self._uploader = None  # lazy single-thread H2D dispatcher
@@ -315,6 +347,47 @@ class RepeatCounter:
         self._dev_cache[key] = fn
         return fn
 
+    def _bounds_pipeline(self, tc: TargetClassifier):
+        """Build (and cache) the phase-1 device pipeline of the split path:
+        flank alignments -> tracebacks -> segment bounds + QC gate, packed
+        as one (B, META_FLOATS) float32 row per read (40-byte/read D2H)."""
+        key = ("bounds", id(tc))
+        if key in self._dev_cache:
+            return self._dev_cache[key]
+        import jax
+
+        from ..ops.bounds import segment_bounds
+        from .packed import pack_meta
+
+        params = self.align_params
+        t_pre = np.asarray(tc.prefix_ext, np.float32)
+        t_suf = np.asarray(tc.suffix_ext, np.float32)
+        trim_prefix = len(tc.prefix_ext) - len(tc.prefix)
+        trim_suffix = len(tc.suffix_ext) - len(tc.suffix)
+
+        def body(buf, n_sigs):
+            morph = _unpack_morph_upload(buf)
+            pre = align_ops.align_core(morph, n_sigs, t_pre, params)
+            suf = align_ops.align_core(morph, n_sigs, t_suf, params)
+            b = segment_bounds(
+                {k: pre[k] for k in ("score", "is_gap", "jpos")},
+                {k: suf[k] for k in ("score", "is_gap", "jpos")},
+                n_sigs, trim_prefix=trim_prefix, trim_suffix=trim_suffix)
+            return pack_meta(b)
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(P("data"), P("data")),
+                                   out_specs=P("data")))
+        else:
+            fn = jax.jit(body)
+        self._dev_cache[key] = fn
+        return fn
+
     def _data_parallel_degree(self) -> int:
         return int(self.mesh.shape["data"]) if self.mesh is not None else 1
 
@@ -376,6 +449,9 @@ class RepeatCounter:
                 f"(> {MAX_FUSED_STATES}); using the two-phase host-bounds path.",
                 LogLevel.Info)
         have_native = native_lib.available()
+        if self.split and fusible:
+            return self._split_submit(tc, raws, n_sigs, n_sigs_p, npad, Bp,
+                                      have_native)
         morphs = None
         if fusible and have_native:
             # single-pass native preprocessing writes straight into one
@@ -470,6 +546,84 @@ class RepeatCounter:
         state.update({"tc": tc, "raws": raws, "flts": flts, "n_sigs": n_sigs, "B": B})
         return state
 
+    def _split_submit(self, tc, raws, n_sigs, n_sigs_p, npad, Bp,
+                      have_native: bool) -> dict:
+        """Phase 1 of the split pipeline: prep + morph-only upload + align
+        dispatch.  The flt channel stays on host; only the repeat segments
+        (phase 2, :meth:`detect_middle`) ever ship to the device."""
+        import jax.numpy as jnp
+
+        from .. import native as native_lib
+        from ..ops.prep import model_const
+
+        buf = np.zeros((Bp, _morph_buf_bytes(npad)), dtype=np.uint8)
+        flt32s: list = [None] * len(raws)
+        flts: list = [None] * len(raws)
+        if have_native:
+            mc = model_const(self.pm)
+
+            def _prep_row(i_raw):
+                i, raw = i_raw
+                n = len(raw)
+                row = buf[i]
+                lut = row[: 4 * _LUT_LEVELS].view(np.float32)
+                q = row[4 * _LUT_LEVELS :][:n]
+                flt32 = np.empty(n, np.float32)
+                flt64 = native_lib.preprocess_read_lut(raw, mc, flt32, q, lut)
+                flt32s[i] = flt32
+                flts[i] = flt64
+
+            list(self._prep_pool().map(_prep_row, enumerate(raws)))
+        else:
+            for i, raw in enumerate(raws):
+                flt = signal_ops.medfilt3(raw)
+                bins = signal_ops.quantize_morph_np(
+                    flt, float(np.median(flt)), mean_abs_dev(flt))
+                bins = signal_ops.open_close_np(bins)
+                row = buf[i]
+                row[4 * _LUT_LEVELS :][: len(raw)] = bins.astype(np.uint8)
+                aff = self.pm.norm_params(bins, mode="minmax")
+                lut64 = np.clip(np.arange(_LUT_LEVELS, dtype=np.float64)
+                                * aff.scale + aff.offset, aff.lo, aff.hi)
+                row[: 4 * _LUT_LEVELS].view(np.float32)[:] = lut64.astype(np.float32)
+                flt_n = self.pm.normalize2model(flt, mode="minmax")
+                flts[i] = flt_n
+                flt32s[i] = flt_n.astype(np.float32)
+        fn = self._bounds_pipeline(tc)
+        bounds_dev = fn(jnp.asarray(buf), jnp.asarray(n_sigs_p))
+        try:
+            bounds_dev.copy_to_host_async()
+        except Exception:
+            pass
+        return {"split": True, "bounds_dev": bounds_dev, "tc": tc,
+                "raws": raws, "flts": flts, "flt32s": flt32s,
+                "n_sigs": n_sigs, "B": len(raws)}
+
+    def detect_middle(self, state: dict) -> dict:
+        """Phase 2 of the split pipeline: bounds D2H + Viterbi dispatch.
+
+        No-op on fused/two-phase states, so schedulers can call it
+        unconditionally between submit and finish.  Collecting the 40-byte
+        /read bounds rows is the only device wait; the Viterbi dispatch on
+        the host-sliced segments returns immediately.
+        """
+        if not state.get("split") or "bounds" in state:
+            return state
+        from .packed import unpack_meta
+
+        tc = state["tc"]
+        B = state["B"]
+        rows = unpack_meta(np.asarray(state["bounds_dev"])[:B])
+        bounds = [(r.ok, r.score_prefix, r.score_suffix, r.prefix_begin,
+                   r.prefix_end, r.suffix_begin, r.suffix_end) for r in rows]
+        live = [i for i in range(B) if rows[i].ok]
+        state["bounds"] = bounds
+        state["live"] = live
+        if live:
+            segs = [state["flt32s"][i][bounds[i][3]:bounds[i][6]] for i in live]
+            state["vit"] = self._viterbi_submit(tc.repeat_hmm, segs)
+        return state
+
     def decode_bounds(self, state: dict):
         """Decode a submit handle's packed results into per-read bounds.
 
@@ -489,6 +643,15 @@ class RepeatCounter:
         bounds = []
         paths = {}
         seg_lens = {}
+        if state.get("split"):
+            state = self.detect_middle(state)
+            bounds = state["bounds"]
+            if state.get("live"):
+                mat = self._viterbi_collect(state["vit"])
+                for k, i in enumerate(state["live"]):
+                    paths[i] = mat[k]
+                    seg_lens[i] = bounds[i][6] - bounds[i][3]
+            return bounds, paths, seg_lens
         if "fused" in state:
             fused = state["fused"]
             if hasattr(fused, "result"):  # async uploader future
@@ -539,7 +702,7 @@ class RepeatCounter:
         return bounds, paths, seg_lens
 
     def detect_finish(self, state: dict):
-        """Phase 2: collect the packed batch results and decode on host."""
+        """Final phase: collect device results and decode on host."""
         tc = state["tc"]
         raws = state["raws"]
         flts = state["flts"]
@@ -580,28 +743,87 @@ class RepeatCounter:
 
         Returns the (B, Tpad) int path matrix on host (one D2H).
         """
+        return self._viterbi_collect(self._viterbi_submit(chm, segments))
+
+    def _viterbi_submit(self, chm, segments):
+        """Dispatch Viterbi over a list of segments; returns a D2H handle.
+
+        Paths are packed to u8/u16 device-side and start copying to host
+        asynchronously — callers may overlap further host work before
+        :meth:`_viterbi_collect`.
+        """
         import jax.numpy as jnp
 
         lens = np.array([len(s) for s in segments], dtype=np.int32)
+        B = len(segments)
+        # pad rows for the mesh's data axis (dummy rows: zero obs, len 1)
+        import math
+
+        dp = self._data_parallel_degree()
+        Bp = -(-B // dp) * dp
+        lens_p = np.ones(Bp, dtype=np.int32)
+        lens_p[:B] = lens
         if self._use_pallas():
-            from ..ops.viterbi_pallas import CHUNK_T, viterbi_pallas_batch
+            from ..ops.viterbi_pallas import CHUNK_T
 
             tpad = max((int(lens.max()) + CHUNK_T - 1) // CHUNK_T * CHUNK_T, CHUNK_T)
-            obs = np.zeros((len(segments), tpad), dtype=np.float32)
-            for k, s in enumerate(segments):
-                obs[k, : len(s)] = s
-            _, paths = viterbi_pallas_batch(jnp.asarray(obs), jnp.asarray(lens),
-                                            self._padded_hmm(chm))
-            return np.asarray(paths)
-        tpad = pad_bucket(int(lens.max()))
-        obs = np.zeros((len(segments), tpad), dtype=np.float32)
+        else:
+            tpad = pad_bucket(int(lens.max()))
+        obs = np.zeros((Bp, tpad), dtype=np.float32)
         for k, s in enumerate(segments):
             obs[k, : len(s)] = s
-        dev = self._device_hmm(chm)
-        fsw = self._factored_scan(chm)
-        if fsw is not None:
-            _, paths = viterbi_ops.viterbi_scan_factored_batch(
-                jnp.asarray(obs), jnp.asarray(lens), dev, fsw[0], fsw[1])
-            return np.asarray(paths)
-        _, paths = viterbi_ops.viterbi_scan_batch(jnp.asarray(obs), jnp.asarray(lens), *dev)
-        return np.asarray(paths)
+        fn = self._vit_pipeline(chm)
+        packed = fn(jnp.asarray(obs), jnp.asarray(lens_p))
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        return {"paths": packed, "B": B, "n_states": chm.n_states}
+
+    def _viterbi_collect(self, handle) -> np.ndarray:
+        """Wait for a :meth:`_viterbi_submit` handle; (B, Tpad) int paths."""
+        paths = np.asarray(handle["paths"])[: handle["B"]]
+        return paths.astype(np.int32)
+
+    def _vit_pipeline(self, chm):
+        """Cached jitted Viterbi dispatch (mesh-sharded when configured)."""
+        key = ("vitpipe", id(chm))
+        if key in self._dev_cache:
+            return self._dev_cache[key]
+        import jax
+
+        from .packed import path_itemsize
+
+        dt_np = path_itemsize(chm.n_states)
+        if self._use_pallas():
+            ph = self._padded_hmm(chm)
+        else:
+            dev = self._device_hmm(chm)
+            fsw = self._factored_scan(chm)
+
+        def body(obs, lens):
+            import jax.numpy as jnp
+
+            if self._use_pallas():
+                from ..ops.viterbi_pallas import viterbi_pallas_batch
+
+                _, paths = viterbi_pallas_batch(obs, lens, ph)
+            elif fsw is not None:
+                _, paths = viterbi_ops.viterbi_scan_factored_batch(
+                    obs, lens, dev, fsw[0], fsw[1])
+            else:
+                _, paths = viterbi_ops.viterbi_scan_batch(obs, lens, *dev)
+            return paths.astype(jnp.uint8 if dt_np == 1 else jnp.uint16)
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import shard_map
+
+            fn = jax.jit(shard_map(body, self.mesh,
+                                   in_specs=(P("data"), P("data")),
+                                   out_specs=P("data")))
+        else:
+            fn = jax.jit(body)
+        self._dev_cache[key] = fn
+        return fn

@@ -32,15 +32,16 @@ def path_itemsize(n_states: int) -> int:
     return 1 if n_states <= 256 else 2
 
 
-def pack_results(bounds: dict, paths, n_states: int):
-    """Device-side: bounds dict + (B, T) int paths -> (B, bytes) uint8.
+def pack_meta(bounds: dict):
+    """Device-side: bounds dict -> (B, META_FLOATS) float32 meta rows.
 
-    Jit-traceable; keeps the whole batch result in one D2H transfer.
+    The bounds-only D2H of the split pipeline (40 bytes/read); also the
+    meta prefix of :func:`pack_results`.  Integer fields are exact in
+    float32 (all are < 2^24).
     """
-    import jax
     import jax.numpy as jnp
 
-    meta = jnp.stack([
+    return jnp.stack([
         bounds["score_p"], bounds["span_p"].astype(jnp.float32),
         bounds["score_s"], bounds["span_s"].astype(jnp.float32),
         bounds["prefix_begin"].astype(jnp.float32),
@@ -50,6 +51,39 @@ def pack_results(bounds: dict, paths, n_states: int):
         bounds["ok"].astype(jnp.float32),
         bounds["seg_len"].astype(jnp.float32),
     ], axis=1)
+
+
+def unpack_meta(meta: np.ndarray) -> list[ReadResult]:
+    """Host-side inverse of :func:`pack_meta` ((B, META_FLOATS) float32).
+
+    Returns ReadResults with ``path=None`` (paths travel separately in
+    the split pipeline).
+    """
+    out = []
+    for i in range(meta.shape[0]):
+        (score_p, span_p, score_s, span_s,
+         pb, pe, sb, se, okf, seg_len) = meta[i]
+        span_p, span_s = int(span_p), int(span_s)
+        out.append(ReadResult(
+            ok=bool(okf),
+            score_prefix=float(score_p) / span_p if span_p > 0 else 0.0,
+            score_suffix=float(score_s) / span_s if span_s > 0 else 0.0,
+            prefix_begin=int(pb), prefix_end=int(pe),
+            suffix_begin=int(sb), suffix_end=int(se),
+            seg_len=int(seg_len), path=None,
+        ))
+    return out
+
+
+def pack_results(bounds: dict, paths, n_states: int):
+    """Device-side: bounds dict + (B, T) int paths -> (B, bytes) uint8.
+
+    Jit-traceable; keeps the whole batch result in one D2H transfer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    meta = pack_meta(bounds)
     meta_u8 = jax.lax.bitcast_convert_type(meta, jnp.uint8).reshape(meta.shape[0], -1)
     if path_itemsize(n_states) == 1:
         path_u8 = paths.astype(jnp.uint8)

@@ -101,7 +101,15 @@ class StreamScheduler:
         self.max_queued = max_queued if max_queued is not None else 4 * self.batch_size
         self.queues: dict[tuple, list] = {}
         self.n_queued = 0
+        # three-stage pipeline: submitted batches await their middle phase
+        # (split path: bounds D2H + Viterbi dispatch) in ``inflight``, then
+        # their finish in ``ready`` — so a batch's Viterbi runs on device
+        # while later batches are still aligning, and the host never waits
+        # on a transfer it could have overlapped.  For fused/two-phase
+        # counter states the middle phase is a no-op and this degrades to
+        # the old two-stage pipeline.
         self.inflight: deque = deque()
+        self.ready: deque = deque()
 
     # -- submission ----------------------------------------------------------
     def add(self, ctx, target_name: str, strand: str, raw) -> None:
@@ -136,6 +144,8 @@ class StreamScheduler:
                 self.n_queued -= len(items)
                 self._submit(target_name, strand, items)
         while self.inflight:
+            self._advance_one()
+        while self.ready:
             self._drain_one()
 
     # -- internals -----------------------------------------------------------
@@ -158,10 +168,26 @@ class StreamScheduler:
             state = None
         self.inflight.append((target_name, strand, items, state))
         while len(self.inflight) > self.depth:
+            self._advance_one()
+        while len(self.ready) > self.depth:
             self._drain_one()
 
-    def _drain_one(self) -> None:
+    def _advance_one(self) -> None:
         target_name, strand, items, state = self.inflight.popleft()
+        if state is not None:
+            try:
+                state = self.counter.detect_middle(state)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in batch bounds phase, retrying "
+                    "reads individually.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+                state = None
+        self.ready.append((target_name, strand, items, state))
+
+    def _drain_one(self) -> None:
+        target_name, strand, items, state = self.ready.popleft()
         outs = None
         if state is not None:
             try:

@@ -39,7 +39,10 @@ def _make_reads(n_reads, repeats, rng, pm):
     return [np.pad(s, (0, mx - len(s)), mode="edge") for s in sigs]
 
 
-def test_fused_matches_two_phase():
+def test_split_fused_two_phase_match():
+    """All three detection pipelines — split (default: morph-only upload,
+    segment-only Viterbi), fused (single dispatch, full-flt upload) and
+    the two-phase host-bounds path — must produce identical rows."""
     pm = PoreModel(MODEL)
     counter = RepeatCounter(MODEL)
     counter.add_target("t", "GGCCCC", PREFIX, SUFFIX)
@@ -53,13 +56,18 @@ def test_fused_matches_two_phase():
     mx = max(len(s) for s in sigs)
     sigs = [np.pad(s, (0, mx - len(s)), mode="edge") for s in sigs]
 
+    assert counter.split
+    split = counter.detect_many("t", sigs, "+")
+
+    counter.split = False
     fused = counter.detect_many("t", sigs, "+")
 
     counter.fused = False
     two_phase = counter.detect_many("t", sigs, "+")
 
-    assert len(fused) == len(two_phase) == 5
-    for f, t in zip(fused, two_phase):
+    assert len(split) == len(fused) == len(two_phase) == 5
+    for s, f, t in zip(split, fused, two_phase):
+        assert s == f  # split and fused share kernels end to end: exact
         assert f[0] == t[0]  # count
         assert f[4] == t[4] and f[5] == t[5]  # offset, ticks
         np.testing.assert_allclose(f[1], t[1], rtol=1e-6)

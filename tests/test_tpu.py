@@ -115,9 +115,10 @@ def test_viterbi_pallas_on_chip_real_hmm(c9_assets):
     assert V.count_repeats(np.asarray(paths_f[0]), int(lens[0]), chm) == 12
 
 
-def test_fused_vs_two_phase_on_chip(c9_assets):
-    """The fused single-D2H tail and the two-phase host-bounds path must
-    produce identical detection rows on the compiled chip kernels."""
+def test_split_fused_two_phase_on_chip(c9_assets):
+    """The split pipeline (default), the fused single-D2H tail and the
+    two-phase host-bounds path must produce identical detection rows on
+    the compiled chip kernels."""
     from strique_tpu.detect.counter import RepeatCounter
 
     pm, chm, repeat, prefix, suffix = c9_assets
@@ -130,7 +131,13 @@ def test_fused_vs_two_phase_on_chip(c9_assets):
         sigs.append(pm.generate_signal(seq, samples=8, noise=True, rng=rng))
         expected.append(n_rep)
 
+    split = RepeatCounter(MODEL)
+    split.add_target("c9", repeat, prefix, suffix)
+    assert split.split
+    res_split = split.detect_many("c9", sigs, "+")
+
     fused = RepeatCounter(MODEL)
+    fused.split = False
     fused.add_target("c9", repeat, prefix, suffix)
     assert fused.fused
     res_fused = fused.detect_many("c9", sigs, "+")
@@ -140,7 +147,8 @@ def test_fused_vs_two_phase_on_chip(c9_assets):
     two_phase.add_target("c9", repeat, prefix, suffix)
     res_two = two_phase.detect_many("c9", sigs, "+")
 
-    for e, rf, rt in zip(expected, res_fused, res_two):
+    for e, rs, rf, rt in zip(expected, res_split, res_fused, res_two):
+        assert rs == rf, f"split row != fused row: {rs} vs {rf}"
         assert rf[0] == e, f"fused count {rf[0]} != {e}"
         assert rt[0] == e
         assert rf[4:6] == rt[4:6]  # offset/ticks
