@@ -62,28 +62,48 @@ def main():
     flts = [prep_one(i) for i in range(len(reads))]
     prep_ms = (time.perf_counter() - t0) / len(reads) * 1e3
 
-    # -- stage 2: result decode (host side of detect_finish) ----------------
-    # run one real batch to obtain a packed result, then time pure decode
+    # -- stage 2: result decode (host side of detect_middle/finish) ---------
+    # run one real batch to obtain device results, then time pure decode
+    # with every transfer pre-materialized
     state = counter.detect_submit("c9orf72", reads, "+")
     outs = counter.detect_finish(state)
-    fused = state["fused"]
-    if hasattr(fused, "result"):
-        fused = fused.result()
-    packed_np = np.asarray(fused)  # materialized: decode timing excludes D2H
     chm = tc.repeat_hmm
+    if state.get("split"):
+        from strique_tpu.detect.packed import unpack_meta
 
-    from strique_tpu.detect.packed import unpack_results
+        meta_np = np.asarray(state["bounds_dev"])[: len(reads)]
+        mat = counter._viterbi_collect(state["vit"])
 
-    def decode_all():
-        rows = unpack_results(packed_np[: len(reads)], chm.n_states)
-        acc = 0.0
-        for i, r in enumerate(rows):
-            if not r.ok:
-                continue
-            seg = flts[i][r.prefix_begin : r.suffix_end]
-            cnt = viterbi_ops.count_repeats(r.path, r.seg_len, chm)
-            acc += viterbi_ops.path_logp_f64(seg, r.path, chm) + cnt
-        return acc
+        def decode_all():
+            rows = unpack_meta(meta_np)
+            acc = 0.0
+            k = 0
+            for i, r in enumerate(rows):
+                if not r.ok:
+                    continue
+                seg = flts[i][r.prefix_begin : r.suffix_end]
+                cnt = viterbi_ops.count_repeats(mat[k], r.seg_len, chm)
+                acc += viterbi_ops.path_logp_f64(seg, mat[k], chm) + cnt
+                k += 1
+            return acc
+    else:
+        from strique_tpu.detect.packed import unpack_results
+
+        fused = state["fused"]
+        if hasattr(fused, "result"):
+            fused = fused.result()
+        packed_np = np.asarray(fused)
+
+        def decode_all():
+            rows = unpack_results(packed_np[: len(reads)], chm.n_states)
+            acc = 0.0
+            for i, r in enumerate(rows):
+                if not r.ok:
+                    continue
+                seg = flts[i][r.prefix_begin : r.suffix_end]
+                cnt = viterbi_ops.count_repeats(r.path, r.seg_len, chm)
+                acc += viterbi_ops.path_logp_f64(seg, r.path, chm) + cnt
+            return acc
 
     decode_all()
     t0 = time.perf_counter()
