@@ -170,11 +170,25 @@ def _align_kernel(params: AlignParams, m_actual: int,
         ptr_ref[q, :, :] = acc
         return S, Ih, bt
 
-    carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
-    S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
-    S_ref[:, :] = S_fin
-    Ih_ref[:, :] = Ih_fin
-    bottom_ref[:, :] = bt_fin
+    # early exit past the batch's longest read: chunks whose first column
+    # exceeds max(n_actual) cannot contribute (bottom is NEG beyond each
+    # read's length, so j_end never lands there and the traceback never
+    # reads their pointers) — skip the DP entirely and emit NEG bottoms.
+    # On bucket slack (reads pad up to 25% short of the bucket) and
+    # close-time merged batches this skips the whole tail's column work.
+    mx = jnp.max(nact)
+
+    @pl.when(chunk * CHUNK < mx)
+    def _run():
+        carry0 = (S_ref[:, :], Ih_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
+        S_fin, Ih_fin, bt_fin = jax.lax.fori_loop(0, CHUNK // 8, col_body8, carry0)
+        S_ref[:, :] = S_fin
+        Ih_ref[:, :] = Ih_fin
+        bottom_ref[:, :] = bt_fin
+
+    @pl.when(chunk * CHUNK >= mx)
+    def _skip():
+        bottom_ref[:, :] = jnp.full((batch, CHUNK), NEG, jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("params", "m_actual"))
