@@ -204,6 +204,74 @@ def test_count_cli_resume(synthetic_run, tmp_path):
     assert sorted(ids) == sorted(counts)
 
 
+def test_masker_cli_end_to_end(synthetic_run, tmp_path):
+    """Count -> mask: the masker extracts counted reads and deletes the
+    [offset, offset+ticks) repeat span from each raw signal (reference
+    scripts/fast5Masker.py:45-92)."""
+    d, fofn, repeat_tsv, sam, counts = synthetic_run
+    from strique_tpu.cli import main as cli_main
+    from strique_tpu.io import fast5
+    from strique_tpu.io.masker import main as masker_main
+
+    out = tmp_path / "counts.tsv"
+    assert cli_main(["count", str(fofn), MODEL, str(repeat_tsv),
+                     "--algn", str(sam), "--out", str(out)]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    spans = {r[0]: (int(r[7]), int(r[8])) for r in rows}
+    assert all(t > 0 for _, t in spans.values())
+
+    masked_dir = tmp_path / "masked"
+    assert masker_main([str(fofn), str(out), str(masked_dir)]) == 0
+    src = fast5.Fast5Index(str(fofn))
+    dst = fast5.Fast5Index(str(masked_dir / "reads.fofn"))
+    for rid, (offset, ticks) in spans.items():
+        orig = src.get_raw(rid)
+        masked = dst.get_raw(rid)
+        assert len(masked) == len(orig) - ticks, rid
+        # the repeat span is excised: prefix and suffix survive verbatim
+        np.testing.assert_array_equal(masked[:offset], orig[:offset])
+        np.testing.assert_array_equal(masked[offset:], orig[offset + ticks:])
+
+
+def test_count_cli_mod_model(tmp_path):
+    """CLI --mod_model end to end: canonical and mCpG-generated reads get
+    exact counts and cleanly separated methylation patterns (reference
+    STRique.py:605-609, count --mod_model flag :908)."""
+    from strique_tpu.cli import main as cli_main
+    from strique_tpu.io import fast5
+
+    mod_model = "/root/reference/models/r9_4_450bps_mCpG.model"
+    pm = PoreModel(MODEL)
+    pm_mod = PoreModel(mod_model)
+    rng = np.random.default_rng(7)
+    backbone = "".join(rng.choice(list("ACTG"), 800))
+    n_rep = 13
+    seq = backbone[:400] + PREFIX + REPEAT * n_rep + SUFFIX + backbone[-400:]
+    for rid, gen in (("mod-can", pm), ("mod-5mc", pm_mod)):
+        sig = gen.generate_signal(seq, samples=8, noise=True, rng=rng)
+        make_single_f5(tmp_path / f"{rid}.fast5", rid, (sig * 10).astype(np.int16))
+    fofn = tmp_path / "reads.fofn"
+    fofn.write_text("\n".join(fast5.index(str(tmp_path))) + "\n")
+    repeat_tsv = tmp_path / "repeats.tsv"
+    repeat_tsv.write_text(
+        "chr\tbegin\tend\tname\trepeat\tprefix\tsuffix\n"
+        f"chr9\t27573527\t27573544\tc9orf72\t{REPEAT}\t{PREFIX}\t{SUFFIX}\n")
+    sam = tmp_path / "algn.sam"
+    sam.write_text("@HD\tVN:1.6\n" + "".join(
+        f"{rid}\t0\tchr9\t27541232\t60\t40000M\t*\t0\t0\t*\t*\n"
+        for rid in ("mod-can", "mod-5mc")))
+    out = tmp_path / "counts.tsv"
+    assert cli_main(["count", str(fofn), MODEL, str(repeat_tsv),
+                     "--algn", str(sam), "--out", str(out),
+                     "--mod_model", mod_model]) == 0
+    rows = [l.split("\t") for l in out.read_text().strip().split("\n")[1:]]
+    got = {r[0]: (int(r[3]), r[9]) for r in rows}
+    assert got["mod-can"][0] == n_rep and got["mod-5mc"][0] == n_rep
+    rate = lambda p: p.count("1") / max(len(p), 1)
+    assert rate(got["mod-can"][1]) < 0.3, got["mod-can"][1]
+    assert rate(got["mod-5mc"][1]) > 0.7, got["mod-5mc"][1]
+
+
 @pytest.fixture(scope="module")
 def dual_locus_run(tmp_path_factory):
     """Two loci (c9orf72 + fmr1), reads on both strands."""
