@@ -208,7 +208,8 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
         while b0 < B:
             # full groups at the 32-wide kernel; the tail at the smallest
             # covering width (8/16/24) so partial batches don't pay full price
-            kb = kernel_batch(B - b0)
+            kb = kernel_batch(B - b0, n_cols=signals.shape[1],
+                              mp=tmpl_padded.shape[1])
             end = b0 + kb
             sl, na = signals[b0:end], n_actual[b0:end]
             if end > B:

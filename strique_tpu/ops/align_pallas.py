@@ -42,21 +42,38 @@ CHUNK = 128
 LANE = 128
 
 
-def kernel_batch(b: int | None = None) -> int:
+# HBM budget for one kernel call's traceback-pointer plane
+# ((N//8, B, MP) int32 = N·B·MP/2 bytes).  Ultra-long reads otherwise OOM
+# at the full 32-wide batch: a 917k-sample bucket costs 3.3 GB at width 8
+# already.  Overridable for bigger-HBM parts via STRIQUE_PTR_BUDGET_GB.
+PTR_BUDGET_BYTES = int(float(__import__("os").environ.get(
+    "STRIQUE_PTR_BUDGET_GB", "3.5")) * (1 << 30))
+
+
+def kernel_batch(b: int | None = None, n_cols: int | None = None,
+                 mp: int | None = None) -> int:
     """Per-call read batch for the current backend.
 
     ``b``: remaining group size.  Full groups run at BATCH_TPU; partial
     tails run at the smallest multiple of 8 that covers them — per-call
     time is ~(0.17 + 0.026·B)·t32 (tools/profile_align_cost.py), so an
-    8-wide tail call costs ~0.38x a 32-wide one.
+    8-wide tail call costs ~0.38x a 32-wide one.  With ``n_cols``/``mp``
+    the width also shrinks (never below the 8-sublane minimum) so the
+    pointer plane stays inside PTR_BUDGET_BYTES — ultra-long reads run
+    as more, narrower kernel calls instead of exhausting HBM.
     """
     import jax
 
     if jax.default_backend() != "tpu":
-        return BATCH
-    if b is None or b >= BATCH_TPU:
-        return BATCH_TPU
-    return max(8, -(-int(b) // 8) * 8)
+        kb = BATCH
+    elif b is None or b >= BATCH_TPU:
+        kb = BATCH_TPU
+    else:
+        kb = max(8, -(-int(b) // 8) * 8)
+    if n_cols is not None and mp is not None:
+        while kb > 8 and n_cols * kb * mp // 2 > PTR_BUDGET_BYTES:
+            kb -= 8
+    return kb
 
 
 def _round_up(x: int, m: int) -> int:

@@ -103,3 +103,24 @@ def test_jax_padding_invariance():
         results.append(detect_range(apad, n, b.astype(np.float32), PARAMS, pre_trim=1, post_trim=1))
     assert results[0][1:] == results[1][1:]
     assert np.isclose(results[0][0], results[1][0], atol=1e-4)
+
+
+def test_kernel_batch_ptr_budget_cap():
+    """Ultra-long reads must shrink the align kernel width so the
+    traceback-pointer plane (N*B*MP/2 bytes) stays inside the HBM budget
+    instead of OOMing at the full 32-wide batch (the reference's CPU DP
+    has no such cliff, src/align_raw.h:117-158, so neither may we)."""
+    import jax
+
+    from strique_tpu.ops.align_pallas import (BATCH, BATCH_TPU,
+                                              PTR_BUDGET_BYTES, kernel_batch)
+
+    full = BATCH_TPU if jax.default_backend() == "tpu" else BATCH
+    # bench-scale reads: full width untouched
+    assert kernel_batch(64, n_cols=24576, mp=896) == full
+    # ~900k-sample bucket: width drops to the 8-sublane floor
+    kb = kernel_batch(64, n_cols=917504, mp=896)
+    assert kb == 8 or full == 8
+    assert 917504 * 896 // 2 * 16 > PTR_BUDGET_BYTES  # 16 would overflow
+    # cap never goes below the sublane minimum even past the budget
+    assert kernel_batch(64, n_cols=8 * 1024 * 1024, mp=896) == 8
