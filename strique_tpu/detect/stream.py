@@ -23,6 +23,7 @@ unordered-collector contract as the reference (:778-802).
 """
 from __future__ import annotations
 
+import os
 import sys
 import traceback
 from collections import deque
@@ -110,6 +111,18 @@ class StreamScheduler:
         # the old two-stage pipeline.
         self.inflight: deque = deque()
         self.ready: deque = deque()
+        # async submission: detect_submit (host prep + upload + align
+        # dispatch) runs on a dedicated thread so later batches prep while
+        # this thread blocks on an earlier batch's device results — the
+        # close()-time tail of a ragged stream otherwise serializes prep
+        # against the bounds/Viterbi waits.  One thread keeps submission
+        # (and so device-queue) order; prep itself still fans out over the
+        # counter's pool.  STRIQUE_ASYNC_SUBMIT=0 restores inline submits.
+        self._submit_pool = None
+        if os.environ.get("STRIQUE_ASYNC_SUBMIT", "1") != "0":
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._submit_pool = ThreadPoolExecutor(max_workers=1)
 
     # -- submission ----------------------------------------------------------
     def add(self, ctx, target_name: str, strand: str, raw) -> None:
@@ -156,16 +169,20 @@ class StreamScheduler:
         self._submit(target_name, strand, items)
 
     def _submit(self, target_name: str, strand: str, items: list) -> None:
-        try:
-            state = self.counter.detect_submit(
-                target_name, [raw for _, raw in items], strand)
-        except KeyboardInterrupt:
-            raise
-        except Exception:
-            log("Factory: Unexpected error in batch submit, retrying reads "
-                "individually.\n"
-                + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
-            state = None
+        raws = [raw for _, raw in items]
+        if self._submit_pool is not None:
+            state = self._submit_pool.submit(
+                self.counter.detect_submit, target_name, raws, strand)
+        else:
+            try:
+                state = self.counter.detect_submit(target_name, raws, strand)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in batch submit, retrying reads "
+                    "individually.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+                state = None
         self.inflight.append((target_name, strand, items, state))
         while len(self.inflight) > self.depth:
             self._advance_one()
@@ -176,6 +193,8 @@ class StreamScheduler:
         target_name, strand, items, state = self.inflight.popleft()
         if state is not None:
             try:
+                if hasattr(state, "result"):  # async submit future
+                    state = state.result()
                 state = self.counter.detect_middle(state)
             except KeyboardInterrupt:
                 raise

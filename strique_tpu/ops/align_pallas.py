@@ -32,12 +32,14 @@ from .reference import AlignParams
 
 NEG = -1e30  # python float: pallas kernels must not capture array constants
 BATCH = 8       # interpret-mode (CPU test) batch; TPU uses BATCH_TPU
-BATCH_TPU = 32  # int8 sublane tile: enables direct pointer stores (no f32
+BATCH_TPU = int(__import__("os").environ.get("STRIQUE_ALIGN_BATCH", "32"))
+                # int8 sublane tile: enables direct pointer stores (no f32
                 # scratch) and 4x the vector work per serial DP step.
                 # Measured optimum: B=64 is ~1.85x the per-call time (issue-
                 # bound; corrected for the probe's flat D2H sync latency)
-                # and -11% end-to-end (tools/profile_align_cost.py + bench);
-                # B=128 exceeds the 16 MB scoped-VMEM limit.
+                # and -11% end-to-end under the round-2 fused path; retested
+                # under the split pipeline via STRIQUE_ALIGN_BATCH (see
+                # NOTES.md); B=128 exceeds the 16 MB scoped-VMEM limit.
 CHUNK = 128
 LANE = 128
 
