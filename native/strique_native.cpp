@@ -148,11 +148,18 @@ void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
     std::sort(v.begin() + std::max(lo99, hi1 + 1), v.end());
     double q5 = v[lo1] * (1.0 - w1) + v[hi1] * w1;
     double q95 = v[lo99] * (1.0 - w99) + v[hi99] * w99;
-    // q5 <= v[hi1], so every element < q5 lies in the sorted front block;
-    // q95 >= v[lo99], so every element > q95 lies in the sorted back block.
-    int64_t c5 = std::lower_bound(v.begin(), v.begin() + hi1 + 1, q5) - v.begin();
-    int64_t back = std::max(lo99, hi1 + 1);
-    int64_t c95 = n - (std::upper_bound(v.begin() + back, v.end(), q95) - v.begin());
+    // tail sizes by linear count over the raw data (a range-limited
+    // binary search misses tail elements that land in the *other* sorted
+    // block when the blocks touch at tiny n, e.g. n == 2);
+    // the tail ranks themselves always lie inside the sorted regions:
+    // q5 <= v[hi1] pins ranks [0, c5) into the sorted front, and
+    // q95 >= v[lo99] pins ranks [n - c95, n) into the sorted back
+    // (or, at tiny n, the two blocks jointly cover the whole array).
+    int64_t c5 = 0, c95 = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        c5 += x[i] < q5;
+        c95 += x[i] > q95;
+    }
     *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
     *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
 }

@@ -144,6 +144,21 @@ class TargetClassifier:
     mod_hmm: object | None
 
 
+def _with_init_lock(fn):
+    """Serialize a cache-building method on the counter's re-entrant lock.
+
+    The scheduler's async-submit thread and a main-thread per-read retry
+    can hit a cold pipeline cache concurrently; the lock makes the
+    check-build-store atomic (cache hits pay one uncontended acquire).
+    """
+    def wrapped(self, *args, **kwargs):
+        with self._init_lock:
+            return fn(self, *args, **kwargs)
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 class RepeatCounter:
     def __init__(self, model_file: str, mod_model_file: str | None = None,
                  align_config: dict | None = None, hmm_config: dict | None = None,
@@ -181,6 +196,13 @@ class RepeatCounter:
         self._dev_cache: dict = {}
         self._pool = None  # lazy host-preprocessing thread pool
         self._uploader = None  # lazy single-thread H2D dispatcher
+        # the scheduler's async-submit thread and a main-thread retry can
+        # drive one counter concurrently: serialize lazy pool creation and
+        # pipeline compilation (re-entrant — pipeline builders consult the
+        # HMM caches while holding the lock)
+        import threading
+
+        self._init_lock = threading.RLock()
 
     # -- model construction ------------------------------------------------
     def add_target(self, target_name: str, repeat: str, prefix: str, suffix: str) -> None:
@@ -211,16 +233,17 @@ class RepeatCounter:
         import jax.numpy as jnp
 
         key = id(chm)
-        if key not in self._dev_cache:
-            self._dev_cache[key] = (
-                jnp.asarray(chm.log_start, jnp.float32),
-                jnp.asarray(chm.log_trans, jnp.float32),
-                jnp.asarray(chm.log_end, jnp.float32),
-                jnp.asarray(chm.mu, jnp.float32),
-                jnp.asarray(chm.sigma, jnp.float32),
-                jnp.asarray(chm.is_uniform),
-                jnp.asarray(chm.log_uni, jnp.float32),
-            )
+        with self._init_lock:
+            if key not in self._dev_cache:
+                self._dev_cache[key] = (
+                    jnp.asarray(chm.log_start, jnp.float32),
+                    jnp.asarray(chm.log_trans, jnp.float32),
+                    jnp.asarray(chm.log_end, jnp.float32),
+                    jnp.asarray(chm.mu, jnp.float32),
+                    jnp.asarray(chm.sigma, jnp.float32),
+                    jnp.asarray(chm.is_uniform),
+                    jnp.asarray(chm.log_uni, jnp.float32),
+                )
         return self._dev_cache[key]
 
     def _padded_hmm(self, chm):
@@ -228,24 +251,26 @@ class RepeatCounter:
         from ..ops.viterbi_pallas import PaddedHMM
 
         key = ("pallas", id(chm))
-        if key not in self._dev_cache:
-            self._dev_cache[key] = PaddedHMM(chm)
+        with self._init_lock:
+            if key not in self._dev_cache:
+                self._dev_cache[key] = PaddedHMM(chm)
         return self._dev_cache[key]
 
     def _factored_scan(self, chm):
         """Cache the factored staging for the XLA-scan kernel, or None."""
         key = ("fscan", id(chm))
-        if key not in self._dev_cache:
-            import os
+        with self._init_lock:
+            if key not in self._dev_cache:
+                import os
 
-            import jax.numpy as jnp
+                import jax.numpy as jnp
 
-            staged = None
-            if (getattr(chm, "factored", None) is not None
-                    and os.environ.get("STRIQUE_DENSE_VITERBI") != "1"):
-                spec, weights = viterbi_ops.stage_factored(chm.factored)
-                staged = (spec, tuple(jnp.asarray(w) for w in weights))
-            self._dev_cache[key] = staged
+                staged = None
+                if (getattr(chm, "factored", None) is not None
+                        and os.environ.get("STRIQUE_DENSE_VITERBI") != "1"):
+                    spec, weights = viterbi_ops.stage_factored(chm.factored)
+                    staged = (spec, tuple(jnp.asarray(w) for w in weights))
+                self._dev_cache[key] = staged
         return self._dev_cache[key]
 
     @staticmethod
@@ -257,23 +282,26 @@ class RepeatCounter:
     def _prep_pool(self):
         """Thread pool for per-read host preprocessing (lazy, GIL-released
         ctypes work; sized to the host's cores)."""
-        if self._pool is None:
-            import os
-            from concurrent.futures import ThreadPoolExecutor
+        with self._init_lock:
+            if self._pool is None:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
 
-            self._pool = ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, 8))
+                self._pool = ThreadPoolExecutor(max_workers=min(os.cpu_count() or 1, 8))
         return self._pool
 
     def _upload_pool(self):
         """Single-thread uploader: serializes H2D + dispatch in submit
         order off the caller's thread."""
-        if self._uploader is None:
-            from concurrent.futures import ThreadPoolExecutor
+        with self._init_lock:
+            if self._uploader is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-            self._uploader = ThreadPoolExecutor(max_workers=1)
+                self._uploader = ThreadPoolExecutor(max_workers=1)
         return self._uploader
 
     # -- fused device pipeline ----------------------------------------------
+    @_with_init_lock
     def _pipeline(self, tc: TargetClassifier, use_buf: bool):
         """Build (and cache) the fused device pipeline for one target/strand.
 
@@ -347,6 +375,7 @@ class RepeatCounter:
         self._dev_cache[key] = fn
         return fn
 
+    @_with_init_lock
     def _bounds_pipeline(self, tc: TargetClassifier):
         """Build (and cache) the phase-1 device pipeline of the split path:
         flank alignments -> tracebacks -> segment bounds + QC gate, packed
@@ -756,11 +785,15 @@ class RepeatCounter:
 
         lens = np.array([len(s) for s in segments], dtype=np.int32)
         B = len(segments)
-        # pad rows for the mesh's data axis (dummy rows: zero obs, len 1)
+        # pad rows to a multiple of 8 x the mesh's data axis (dummy rows:
+        # zero obs, len 1) — the QC gate makes the live-read count vary
+        # per batch, and an un-rounded batch dimension would compile a
+        # fresh pipeline per distinct count
         import math
 
         dp = self._data_parallel_degree()
-        Bp = -(-B // dp) * dp
+        step = 8 * dp // math.gcd(8, dp)
+        Bp = -(-B // step) * step
         lens_p = np.ones(Bp, dtype=np.int32)
         lens_p[:B] = lens
         if self._use_pallas():
@@ -785,6 +818,7 @@ class RepeatCounter:
         paths = np.asarray(handle["paths"])[: handle["B"]]
         return paths.astype(np.int32)
 
+    @_with_init_lock
     def _vit_pipeline(self, chm):
         """Cached jitted Viterbi dispatch (mesh-sharded when configured)."""
         key = ("vitpipe", id(chm))

@@ -117,12 +117,10 @@ class StreamScheduler:
         # close()-time tail of a ragged stream otherwise serializes prep
         # against the bounds/Viterbi waits.  One thread keeps submission
         # (and so device-queue) order; prep itself still fans out over the
-        # counter's pool.  STRIQUE_ASYNC_SUBMIT=0 restores inline submits.
+        # counter's pool.  Created lazily on the first flush, shut down by
+        # close().  STRIQUE_ASYNC_SUBMIT=0 restores inline submits.
+        self._async_submit = os.environ.get("STRIQUE_ASYNC_SUBMIT", "1") != "0"
         self._submit_pool = None
-        if os.environ.get("STRIQUE_ASYNC_SUBMIT", "1") != "0":
-            from concurrent.futures import ThreadPoolExecutor
-
-            self._submit_pool = ThreadPoolExecutor(max_workers=1)
 
     # -- submission ----------------------------------------------------------
     def add(self, ctx, target_name: str, strand: str, raw) -> None:
@@ -160,6 +158,9 @@ class StreamScheduler:
             self._advance_one()
         while self.ready:
             self._drain_one()
+        if self._submit_pool is not None:
+            self._submit_pool.shutdown(wait=True)
+            self._submit_pool = None
 
     # -- internals -----------------------------------------------------------
     def _flush(self, key) -> None:
@@ -170,7 +171,11 @@ class StreamScheduler:
 
     def _submit(self, target_name: str, strand: str, items: list) -> None:
         raws = [raw for _, raw in items]
-        if self._submit_pool is not None:
+        if self._async_submit:
+            if self._submit_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._submit_pool = ThreadPoolExecutor(max_workers=1)
             state = self._submit_pool.submit(
                 self.counter.detect_submit, target_name, raws, strand)
         else:

@@ -362,12 +362,20 @@ def multi_group_to_single(bulk: h5py.File, group: str, out_file: str) -> None:
         read_number = int(raw.attrs.get("read_number", 0))
         read_grp = out.create_group(f"Raw/Reads/Read_{read_number}")
         _copy_attrs(raw, read_grp)
-        bulk.copy(raw["Signal"], read_grp, name="Signal")
+        for key in raw:  # Signal plus any sibling datasets/groups
+            bulk.copy(raw[key], read_grp, name=key)
         ugk = out.create_group("UniqueGlobalKey")
         for name in _UGK_GROUPS:
-            sub = ugk.create_group(name)
             if name in g:
-                _copy_attrs(g[name], sub)
+                bulk.copy(g[name], ugk, name=name)  # attrs AND children
+            else:
+                ugk.create_group(name)
+        # anything else the read group carries (Analyses, extra UGK-style
+        # groups, ...) passes through at the single file's top level
+        for key in g:
+            if key != "Raw" and key not in _UGK_GROUPS:
+                bulk.copy(g[key], out, name=key)
+        _copy_attrs(g, out)
 
 
 def singles_to_multi(f5_files, out_file: str) -> None:
@@ -382,13 +390,20 @@ def singles_to_multi(f5_files, out_file: str) -> None:
                 sig = raw_holder[sig_rel]
                 raw_out = grp.create_group("Raw")
                 _copy_attrs(sig.parent, raw_out)
-                src.copy(sig, raw_out, name="Signal")
+                sig_leaf = sig.name.rsplit("/", 1)[-1]
+                for key in sig.parent:  # Signal plus any sibling content
+                    src.copy(sig.parent[key], raw_out,
+                             name="Signal" if key == sig_leaf else key)
                 ugk = src.get("UniqueGlobalKey")
                 run_id = b""
-                for name in _UGK_GROUPS:
-                    if ugk is not None and name in ugk:
-                        sub = grp.create_group(name)
-                        _copy_attrs(ugk[name], sub)
+                if ugk is not None:
+                    for name in ugk:  # attrs AND children, all groups
+                        src.copy(ugk[name], grp, name=name)
                         if name == "tracking_id" and "run_id" in ugk[name].attrs:
                             run_id = ugk[name].attrs["run_id"]
+                # non-Raw top-level content (Analyses, ...) rides along
+                # inside the read group, as ont_fast5_api lays it out
+                for key in src:
+                    if key not in ("Raw", "UniqueGlobalKey"):
+                        src.copy(src[key], grp, name=key)
                 grp.attrs["run_id"] = run_id

@@ -32,7 +32,11 @@ from .reference import AlignParams
 
 NEG = -1e30  # python float: pallas kernels must not capture array constants
 BATCH = 8       # interpret-mode (CPU test) batch; TPU uses BATCH_TPU
-BATCH_TPU = int(__import__("os").environ.get("STRIQUE_ALIGN_BATCH", "32"))
+# rounded up to the 8-row sublane tile the kernel asserts on, so an
+# off-grid override degrades to the nearest valid width instead of an
+# AssertionError deep inside the first batch
+BATCH_TPU = max(8, -(-int(__import__("os").environ.get(
+    "STRIQUE_ALIGN_BATCH", "32")) // 8) * 8)
                 # int8 sublane tile: enables direct pointer stores (no f32
                 # scratch) and 4x the vector work per serial DP step.
                 # Measured optimum: B=64 is ~1.85x the per-call time (issue-

@@ -247,3 +247,44 @@ def test_singles_to_multi_ont_layout(tmp_path):
     with h5py.File(single) as f:
         np.testing.assert_array_equal(f["Raw/Reads/Read_2628/Signal"][()], orig)
         assert f["UniqueGlobalKey/channel_id"].attrs["offset"] == 49.0
+
+
+def test_conversion_preserves_non_raw_content(tmp_path):
+    """Basecall data (Analyses subtree, datasets inside UniqueGlobalKey
+    groups) must survive single -> multi -> single, not just Raw/attrs
+    (the reference converts through ont_fast5_api, which is lossless,
+    STRique_lib/fast5Index.py:96-135)."""
+    rid = "read-with-analyses"
+    src = tmp_path / f"{rid}.fast5"
+    sig = np.arange(64, dtype=np.int16)
+    make_single_f5(src, rid, sig)
+    with h5py.File(src, "r+") as f:
+        bc = f.create_group("Analyses/Basecall_1D_000/BaseCalled_template")
+        bc.create_dataset("Fastq", data=np.bytes_(b"@r\nACGT\n+\n!!!!\n"))
+        f["Analyses/Basecall_1D_000"].attrs["name"] = np.bytes_(b"caller")
+        ugk = f.create_group("UniqueGlobalKey/tracking_id")
+        ugk.attrs["run_id"] = np.bytes_(b"runX")
+        ch = f.create_group("UniqueGlobalKey/channel_id")
+        ch.attrs["digitisation"] = 8192.0
+        ch.create_dataset("calibration", data=np.array([1.0, 2.0]))
+
+    bulk = tmp_path / "packed.fast5"
+    fast5.singles_to_multi([str(src)], str(bulk))
+    with h5py.File(bulk) as f:
+        g = f[f"read_{rid}"]
+        assert g["Analyses/Basecall_1D_000"].attrs["name"] == b"caller"
+        assert g["Analyses/Basecall_1D_000/BaseCalled_template/Fastq"][()] \
+            == b"@r\nACGT\n+\n!!!!\n"
+        np.testing.assert_array_equal(g["channel_id/calibration"][()], [1.0, 2.0])
+        assert g.attrs["run_id"] == b"runX"
+
+    out = tmp_path / "single_out.fast5"
+    with h5py.File(bulk) as f:
+        fast5.multi_group_to_single(f, f"read_{rid}", str(out))
+    with h5py.File(out) as f:
+        assert f["Analyses/Basecall_1D_000/BaseCalled_template/Fastq"][()] \
+            == b"@r\nACGT\n+\n!!!!\n"
+        np.testing.assert_array_equal(
+            f["UniqueGlobalKey/channel_id/calibration"][()], [1.0, 2.0])
+        np.testing.assert_array_equal(
+            f[f"Raw/Reads/Read_0/Signal"][()], sig)
