@@ -93,16 +93,18 @@ def main():
 
     # best of two timed passes: the tunnel link's bandwidth fluctuates
     # run to run, and a transfer hiccup should not masquerade as a
-    # regression in a compute benchmark
+    # regression in a compute benchmark.  Both passes are reported
+    # (value = best, plus mean and spread) so cross-round comparisons
+    # can tell link noise from real regressions.
     correct = uniform_pass()
-    t0 = time.perf_counter()
-    correct = uniform_pass()
-    dt = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    correct = uniform_pass()
-    dt = min(dt, time.perf_counter() - t0)
-
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        correct = uniform_pass()
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     rps = n_reads / dt
+    rps_mean = n_reads / (sum(dts) / len(dts))
     # ragged phase: realistic stream — mixed read lengths spanning several
     # pad buckets, mixed repeat counts (different Viterbi segment buckets),
     # both strands (separate device pipelines), partial batches
@@ -138,13 +140,17 @@ def main():
                    for i, (_, nrep, _) in enumerate(ragged))
 
     ragged_pass()  # compile the bucket set + warm
-    t0 = time.perf_counter()
-    ragged_ok = ragged_pass()
-    dt_ragged = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ragged_ok = ragged_pass()
-    dt_ragged = min(dt_ragged, time.perf_counter() - t0)
+    dts_ragged = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ragged_ok = ragged_pass()
+        dts_ragged.append(time.perf_counter() - t0)
+    dt_ragged = min(dts_ragged)
     ragged_rps = n_ragged / dt_ragged
+    ragged_rps_mean = n_ragged / (sum(dts_ragged) / len(dts_ragged))
+
+    def spread_pct(ts):
+        return round((max(ts) - min(ts)) / min(ts) * 100, 1)
 
     result = {
         "metric": "reads_per_sec",
@@ -153,6 +159,13 @@ def main():
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
         "ragged_reads_per_sec": round(ragged_rps, 3),
         "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
+        # value/ragged are best-of-2 (link noise suppression); the means
+        # and pass-to-pass spreads keep cross-round comparisons honest
+        "timing": "best_of_2",
+        "mean_reads_per_sec": round(rps_mean, 3),
+        "ragged_mean_reads_per_sec": round(ragged_rps_mean, 3),
+        "spread_pct": spread_pct(dts),
+        "ragged_spread_pct": spread_pct(dts_ragged),
     }
     print(json.dumps(result))
     print(f"# {n_reads} reads in {dt:.2f}s; count accuracy {correct}/{n_reads}; "

@@ -829,6 +829,9 @@ class RepeatCounter:
         from .packed import path_itemsize
 
         dt_np = path_itemsize(chm.n_states)
+        # u16 packing wraps state indices >= 65536; such HMMs (only
+        # reachable through the two-phase fallback) keep int32 paths
+        pack_u16 = chm.n_states <= 65536
         if self._use_pallas():
             ph = self._padded_hmm(chm)
         else:
@@ -847,7 +850,11 @@ class RepeatCounter:
                     obs, lens, dev, fsw[0], fsw[1])
             else:
                 _, paths = viterbi_ops.viterbi_scan_batch(obs, lens, *dev)
-            return paths.astype(jnp.uint8 if dt_np == 1 else jnp.uint16)
+            if dt_np == 1:
+                return paths.astype(jnp.uint8)
+            if pack_u16:
+                return paths.astype(jnp.uint16)
+            return paths.astype(jnp.int32)
 
         if self.mesh is not None:
             from jax.sharding import PartitionSpec as P

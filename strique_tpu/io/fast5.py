@@ -371,10 +371,18 @@ def multi_group_to_single(bulk: h5py.File, group: str, out_file: str) -> None:
             else:
                 ugk.create_group(name)
         # anything else the read group carries (Analyses, extra UGK-style
-        # groups, ...) passes through at the single file's top level
+        # groups, ...) passes through at the single file's top level;
+        # a child literally named UniqueGlobalKey would collide with the
+        # group created above, so merge its children into it instead
         for key in g:
-            if key != "Raw" and key not in _UGK_GROUPS:
-                bulk.copy(g[key], out, name=key)
+            if key == "Raw" or key in _UGK_GROUPS:
+                continue
+            if key == "UniqueGlobalKey":
+                for sub in g[key]:
+                    if sub not in ugk:
+                        bulk.copy(g[key][sub], ugk, name=sub)
+                continue
+            bulk.copy(g[key], out, name=key)
         _copy_attrs(g, out)
 
 

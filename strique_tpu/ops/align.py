@@ -107,16 +107,25 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     return out
 
 
-def traceback_pointers(ptrs, j_end, m: int, packed: bool = False):
+def traceback_pointers(ptrs, j_end, m: int, packed=False):
     """Walk the 4-bit pointer array back from cell (m, j_end).
 
     ``ptrs``: (N, MP) with MP >= m; byte at [j-1, i-1] describes DP cell
-    (row i, column j).  With ``packed`` (the Pallas kernel's layout),
-    ``ptrs`` is (N//8, MP) int32 and column j's code sits in nibble
-    (j-1) % 8 of word [(j-1)//8, i-1].  Returns per-template-element gap
-    flags and signal positions plus ``j_begin``.
+    (row i, column j).  With ``packed=True`` (the column Pallas kernel's
+    layout), ``ptrs`` is (N//8, MP) int32 and column j's code sits in
+    nibble (j-1) % 8 of word [(j-1)//8, i-1].  With ``packed='diag'``
+    (the wavefront kernel's layout), the code of cell (i, j) sits at
+    diagonal step t = i + j - 1: word [t//8, i-1], nibble t % 8.
+    Returns per-template-element gap flags and signal positions plus
+    ``j_begin``.
     """
-    if packed:
+    if packed == "diag":
+        def lookup(jc, ic):
+            t = jnp.maximum(ic + jc - 1, 0)
+            word = ptrs[t // 8, ic - 1]
+            nib = (word >> (4 * (t % 8))) & 15
+            return jnp.where(jc > 0, nib.astype(jnp.uint8), jnp.uint8(MAT_V | 8))
+    elif packed:
         def lookup(jc, ic):
             jz = jnp.maximum(jc - 1, 0)
             word = ptrs[jz // 8, ic - 1]
@@ -182,6 +191,26 @@ def _align_batch_pallas(signals, n_actual, template_padded,
     return {"score": score, "j_end": j_end, **tb}
 
 
+@partial(jax.jit, static_argnames=("params", "m_actual"))
+def _align_batch_wave(signals, n_actual, template_padded,
+                      params: AlignParams, m_actual: int):
+    from .align_pallas import align_forward_wave
+
+    ptr, bottom_steps = align_forward_wave(signals, n_actual, template_padded,
+                                           params, m_actual)
+    # bottom_steps[:, t] = bottom(column j = t + 1 - m): columns 1..N sit
+    # at steps m..m+N-1; prepend the virtual column 0 like the column path
+    bottom_cols = bottom_steps[:, m_actual : m_actual + signals.shape[1]]
+    b0 = jnp.float32(params.gap_open_v) + jnp.float32(params.gap_extension_v) * (m_actual - 1)
+    bottom = jnp.concatenate(
+        [jnp.full((signals.shape[0], 1), b0), bottom_cols], axis=1)
+    j_end = jnp.argmax(bottom, axis=1).astype(jnp.int32)
+    score = jnp.take_along_axis(bottom, j_end[:, None], axis=1)[:, 0]
+    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual, packed="diag"),
+                  in_axes=(1, 0))(ptr, j_end)
+    return {"score": score, "j_end": j_end, **tb}
+
+
 def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
                impl: str = "auto"):
     """Batched alignment on local data — traceable inside jit/shard_map.
@@ -194,9 +223,19 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_col", "pallas_wave"):
+        import os
+
         from .align_pallas import CHUNK, kernel_batch, pad_template
 
+        if impl == "pallas":
+            # wavefront by default (bit-identical, ~1.3x the column
+            # kernel); STRIQUE_ALIGN_KERNEL=col restores the column sweep
+            impl = ("pallas_col"
+                    if os.environ.get("STRIQUE_ALIGN_KERNEL") == "col"
+                    else "pallas_wave")
+        batch_fn = (_align_batch_wave if impl == "pallas_wave"
+                    else _align_batch_pallas)
         B, N = signals.shape
         npad = (-N) % CHUNK
         if npad:
@@ -215,7 +254,7 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
             if end > B:
                 sl = jnp.pad(sl, ((0, end - B), (0, 0)))
                 na = jnp.pad(na, (0, end - B), constant_values=1)
-            outs.append(_align_batch_pallas(sl, na, tmpl_dev, params, m))
+            outs.append(batch_fn(sl, na, tmpl_dev, params, m))
             b0 = end
         out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
         return out

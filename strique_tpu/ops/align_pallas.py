@@ -20,6 +20,7 @@ cell (row i, column j); traceback reuses the same decoding.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -32,11 +33,22 @@ from .reference import AlignParams
 
 NEG = -1e30  # python float: pallas kernels must not capture array constants
 BATCH = 8       # interpret-mode (CPU test) batch; TPU uses BATCH_TPU
+
+
+def _env_number(name: str, default: float) -> float:
+    """Numeric env knob; malformed values fall back to the default
+    (a bare int()/float() here would turn a typo into an ImportError
+    for the whole package)."""
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return float(default)
+
+
 # rounded up to the 8-row sublane tile the kernel asserts on, so an
 # off-grid override degrades to the nearest valid width instead of an
 # AssertionError deep inside the first batch
-BATCH_TPU = max(8, -(-int(__import__("os").environ.get(
-    "STRIQUE_ALIGN_BATCH", "32")) // 8) * 8)
+BATCH_TPU = max(8, -(-int(_env_number("STRIQUE_ALIGN_BATCH", 32)) // 8) * 8)
                 # int8 sublane tile: enables direct pointer stores (no f32
                 # scratch) and 4x the vector work per serial DP step.
                 # Measured optimum: B=64 is ~1.85x the per-call time (issue-
@@ -51,9 +63,40 @@ LANE = 128
 # HBM budget for one kernel call's traceback-pointer plane
 # ((N//8, B, MP) int32 = N·B·MP/2 bytes).  Ultra-long reads otherwise OOM
 # at the full 32-wide batch: a 917k-sample bucket costs 3.3 GB at width 8
-# already.  Overridable for bigger-HBM parts via STRIQUE_PTR_BUDGET_GB.
-PTR_BUDGET_BYTES = int(float(__import__("os").environ.get(
-    "STRIQUE_PTR_BUDGET_GB", "3.5")) * (1 << 30))
+# already.  Overridable via STRIQUE_PTR_BUDGET_GB; without an override the
+# budget is sized from the device's own memory stats at first dispatch
+# (see ptr_budget_bytes) so bigger-HBM parts use their headroom.
+_DEFAULT_PTR_BUDGET = int(3.5 * (1 << 30))
+_ptr_budget_cache: list = []
+
+
+def ptr_budget_bytes() -> int:
+    """Pointer-plane HBM budget for one kernel call.
+
+    Priority: STRIQUE_PTR_BUDGET_GB env override (re-read per call so
+    tests and callers can adjust it), else 60% of the device's free HBM
+    at first dispatch (leaves headroom for the signal/bottom buffers and
+    XLA temp space), else a 3.5 GB fallback when the backend exposes no
+    memory stats (CPU interpret mode).
+    """
+    env = os.environ.get("STRIQUE_PTR_BUDGET_GB")
+    if env is not None:
+        try:
+            return int(float(env) * (1 << 30))
+        except ValueError:
+            pass
+    if not _ptr_budget_cache:
+        budget = _DEFAULT_PTR_BUDGET
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats:
+                free = int(stats.get("bytes_limit", 0)) - int(stats.get("bytes_in_use", 0))
+                if free > 0:
+                    budget = max(int(free * 0.6), 1 << 28)
+        except Exception:
+            pass
+        _ptr_budget_cache.append(budget)
+    return _ptr_budget_cache[0]
 
 
 def kernel_batch(b: int | None = None, n_cols: int | None = None,
@@ -77,7 +120,8 @@ def kernel_batch(b: int | None = None, n_cols: int | None = None,
     else:
         kb = max(8, -(-int(b) // 8) * 8)
     if n_cols is not None and mp is not None:
-        while kb > 8 and n_cols * kb * mp // 2 > PTR_BUDGET_BYTES:
+        budget = ptr_budget_bytes()
+        while kb > 8 and n_cols * kb * mp // 2 > budget:
             kb -= 8
     return kb
 
@@ -265,3 +309,236 @@ def pad_template(template: np.ndarray) -> tuple[np.ndarray, int]:
     out = np.full((1, mp), 1e30, np.float32)
     out[0, 1 : m + 1] = template
     return out, m
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (anti-diagonal) kernel
+# ---------------------------------------------------------------------------
+#
+# Same DP, same float32 value stream, ~40% fewer vector ops per cell: the
+# grid walks anti-diagonals (step t computes every cell (i, j) with
+# i + j - 1 == t, template rows still pinned to lanes), so the
+# within-column vertical-gap prefix max — a 13-deep serialized
+# shift/max chain over 896 lanes in the column kernel, its single
+# largest measured cost (tools/profile_align_cost.py: 30%) — collapses
+# to ONE shifted max per step:
+#
+#   C(i, j) = max(C(i-1, j), Q(i, j) + go_v - (i+1)·g)      [the running
+#   newIv(i, j) = C(i-1, j) + i·g                            column cummax]
+#
+# C(i-1, j) sits one lane down on the previous diagonal, exactly like
+# every other Gotoh dependency, and the max-set equals the column
+# kernel's cummax (max is exact, order-free), while every add uses the
+# identical expression tree — so scores, pointers and tracebacks are
+# BIT-IDENTICAL to the column kernel and the XLA scan kernel.
+#
+# The per-cell signal value a[j-1] = a[t-i] is a lane-REVERSED sliding
+# window of the signal, maintained by one lane shift + one masked
+# insert per step.  Cost: the diagonal sweep runs N + MP steps instead
+# of N (+~4% on bench shapes), and cells with j < 1 ride along as
+# bounded garbage until the wavefront forces their column-0 boundary
+# values (first MP steps only).
+#
+# Replaces the reference's SeqAn full-matrix DP
+# (reference src/align_raw.h:117-158) like the column kernel; pointer
+# nibble for cell (i, j) lives at word [(i+j-1)//8, read, i-1], nibble
+# (i+j-1) % 8 (diagonal-major — see traceback_pointers packed='diag').
+
+
+def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
+                 with_ptr: bool,
+                 sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
+                 S1_ref, S2_ref, Ih_ref, C_ref, BV_ref, R_ref):
+    go_h = np.float32(params.gap_open_h)
+    go_v = np.float32(params.gap_open_v)
+    ge_h = np.float32(params.gap_extension_h)
+    ge_v = np.float32(params.gap_extension_v)
+    off = np.float32(params.dist_offset)
+    dmin = np.float32(params.dist_min)
+    g = np.float32(max(params.gap_extension_v, params.gap_open_v))
+
+    batch, mp = S1_ref.shape
+    lane_ii = jax.lax.broadcasted_iota(jnp.int32, (batch, mp), 1)
+    lane_i = lane_ii.astype(jnp.float32)
+    row0 = lane_ii == 0
+    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (batch, CHUNK), 1)
+    # column-0 boundary values (identical to the column kernel's init)
+    S0_col = jnp.where(row0, 0.0, go_v + ge_v * (lane_i - 1.0))
+
+    chunk = pl.program_id(0)
+
+    @pl.when(chunk == 0)
+    def _init():
+        # step -1 state: only lane 0 (cell (0,0): S=0, Ih=NEG) is ever
+        # read before the wavefront forces a lane's column-0 boundary
+        S1_ref[:, :] = jnp.where(row0, 0.0, NEG)
+        S2_ref[:, :] = jnp.full((batch, mp), NEG)
+        Ih_ref[:, :] = jnp.full((batch, mp), NEG)
+        C_ref[:, :] = jnp.full((batch, mp), NEG)
+        BV_ref[:, :] = jnp.zeros((batch, mp), jnp.int32)
+        R_ref[:, :] = jnp.full((batch, mp), NEG)
+
+    tmpl = tmpl_ref[:, :]
+    nact = nact_ref[:, :]
+    sig_tile = sig_ref[:, :]
+
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full((batch, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    neg_h = params.gap_open_h < 0 and params.gap_extension_h <= 0
+
+    def diag_body(c_in, u, force_boundary, carry):
+        S1, S2, Ih, C, BV, R, bt, acc = carry
+        t = chunk * CHUNK + c_in  # global 0-based diagonal step
+        # slide the reversed signal window: lane 0 <- a[t]
+        sel = sel_iota == c_in
+        aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
+        R = jnp.concatenate([jnp.broadcast_to(aj, (batch, 1)), R[:, :-1]], axis=1)
+        diff = jnp.abs(R - tmpl)
+        sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
+        ih_ext = Ih + ge_h
+        ih_open = S1 + go_h
+        newIh = jnp.maximum(ih_ext, ih_open)
+        if neg_h:
+            newM = shift1(S2, -params.dist_min) + sc
+            Q = jnp.maximum(newM, newIh)
+        else:
+            newM = shift1(S2, NEG) + sc
+            Q = jnp.where(row0, 0.0, jnp.maximum(newM, newIh))
+        cvec = Q + go_v - (lane_i + 1.0) * g
+        C_sh = shift1(C, NEG)          # C(i-1, j): the column cummax to row i-1
+        newC = jnp.maximum(C_sh, cvec)
+        newIv = C_sh + lane_i * g
+        newS = jnp.maximum(Q, newIv)
+        if with_ptr:
+            which = jnp.where(newM >= newS, 0, jnp.where(newIv >= newS, 2, 1))
+            ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
+            # Iv-extend bit of row i tests row i-1 of the SAME column — one
+            # diagonal back, one lane down: carry the comparison and shift it
+            ivx = shift1(BV, 0) << 3
+            newBV = (newIv + ge_v >= newS + go_v).astype(jnp.int32)
+            pbi = which | ihx | ivx
+            pb_shifted = jnp.concatenate([pbi[:, 1:], pbi[:, :1]], axis=1)
+            acc = acc | (pb_shifted << (4 * u))
+        else:
+            newBV = BV
+        if force_boundary:
+            # the cell (t+1, 0) enters the valid region next step: pin its
+            # column-0 boundary (cheap select; only the first MP steps
+            # ever match, so the fast body skips it entirely)
+            bmask = lane_ii == t + 1
+            newS = jnp.where(bmask, S0_col, newS)
+            newIh = jnp.where(bmask, NEG, newIh)
+        # bottom row: cell (m, j) with j = t + 1 - m
+        j = t + 1 - m_actual
+        live = (j >= 1) & (j <= nact)
+        bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
+        bt = jnp.where(sel, bval, bt)
+        return S1, newS, newIh, newC, newBV, R, bt, acc
+        # note the rotation: S2' = S1 happens via positional return order
+
+    def make_body8(force_boundary):
+        def body8(q, carry):
+            S1, S2, Ih, C, BV, R, bt = carry
+            acc = jnp.zeros((batch, mp), jnp.int32)
+            for u in range(8):
+                S2, S1, Ih, C, BV, R, bt, acc = diag_body(
+                    q * 8 + u, u, force_boundary, (S1, S2, Ih, C, BV, R, bt, acc))
+            if with_ptr:
+                ptr_ref[q, :, :] = acc
+            return S1, S2, Ih, C, BV, R, bt
+        return body8
+
+    # early exit: every pointer the traceback can visit satisfies
+    # t = i + j - 1 <= m_actual + j_end - 1 < m_actual + max(nact), and
+    # lane-m bottoms past that are dead — skip whole chunks beyond it
+    mx = jnp.max(nact)
+
+    def _sweep(force_boundary):
+        carry0 = (S1_ref[:, :], S2_ref[:, :], Ih_ref[:, :], C_ref[:, :],
+                  BV_ref[:, :], R_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
+        S1f, S2f, Ihf, Cf, BVf, Rf, btf = jax.lax.fori_loop(
+            0, CHUNK // 8, make_body8(force_boundary), carry0)
+        S1_ref[:, :] = S1f
+        S2_ref[:, :] = S2f
+        Ih_ref[:, :] = Ihf
+        C_ref[:, :] = Cf
+        BV_ref[:, :] = BVf
+        R_ref[:, :] = Rf
+        bottom_ref[:, :] = btf
+
+    @pl.when((chunk < n_chunks_boundary) & (chunk * CHUNK < mx + m_actual))
+    def _run_boundary():
+        _sweep(True)
+
+    @pl.when((chunk >= n_chunks_boundary) & (chunk * CHUNK < mx + m_actual))
+    def _run_fast():
+        _sweep(False)
+
+    @pl.when(chunk * CHUNK >= mx + m_actual)
+    def _skip():
+        bottom_ref[:, :] = jnp.full((batch, CHUNK), NEG, jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("params", "m_actual", "with_ptr"))
+def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
+                       m_actual: int, with_ptr: bool = True):
+    """Wavefront forward DP for a batch of B reads.
+
+    signals: (B, N) float32, N a multiple of CHUNK.  Returns
+    (ptr (ND//8, B, MP) int32, bottom_steps (B, ND) f32) with
+    ND = N + MP diagonal steps; bottom_steps[:, t] holds the bottom-row
+    score of column j = t + 1 - m_actual (NEG outside [1, n_actual]),
+    and the pointer nibble of cell (i, j) lives at word
+    [(i+j-1)//8, read, i-1], nibble (i+j-1) % 8.  With
+    ``with_ptr=False`` the pointer plane is neither computed nor
+    allocated (score-only forward; returns (None, bottom_steps)).
+    """
+    B, N = signals.shape
+    assert B % 8 == 0 and N % CHUNK == 0
+    mp = template_padded.shape[1]
+    nd = N + mp
+    sig_ext = jnp.pad(signals, ((0, 0), (0, mp)))
+    grid = (nd // CHUNK,)
+    n_chunks_boundary = mp // CHUNK + 1  # chunks that can touch column 0
+    interpret = jax.default_backend() != "tpu"
+    out_specs = [pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, nd), jnp.float32)]
+    if with_ptr:
+        out_specs.insert(0, pl.BlockSpec((CHUNK // 8, B, mp), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((nd // 8, B, mp), jnp.int32))
+
+    def kern(sig_ref, tmpl_ref, nact_ref, *rest):
+        if with_ptr:
+            ptr_ref, bottom_ref = rest[0], rest[1]
+            scratch = rest[2:]
+        else:
+            ptr_ref, bottom_ref = None, rest[0]
+            scratch = rest[1:]
+        _wave_kernel(params, m_actual, n_chunks_boundary, with_ptr,
+                     sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.int32),
+            pltpu.VMEM((B, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sig_ext, template_padded, n_actual[:, None].astype(jnp.int32))
+    if with_ptr:
+        return outs[0], outs[1]
+    return None, outs[0]

@@ -105,22 +105,32 @@ def test_jax_padding_invariance():
     assert np.isclose(results[0][0], results[1][0], atol=1e-4)
 
 
-def test_kernel_batch_ptr_budget_cap():
+def test_kernel_batch_ptr_budget_cap(monkeypatch):
     """Ultra-long reads must shrink the align kernel width so the
     traceback-pointer plane (N*B*MP/2 bytes) stays inside the HBM budget
     instead of OOMing at the full 32-wide batch (the reference's CPU DP
     has no such cliff, src/align_raw.h:117-158, so neither may we)."""
     import jax
 
-    from strique_tpu.ops.align_pallas import (BATCH, BATCH_TPU,
-                                              PTR_BUDGET_BYTES, kernel_batch)
+    from strique_tpu.ops.align_pallas import (BATCH, BATCH_TPU, kernel_batch,
+                                              ptr_budget_bytes)
 
+    monkeypatch.setenv("STRIQUE_PTR_BUDGET_GB", "3.5")
+    budget = ptr_budget_bytes()
+    assert budget == int(3.5 * (1 << 30))
     full = BATCH_TPU if jax.default_backend() == "tpu" else BATCH
     # bench-scale reads: full width untouched
     assert kernel_batch(64, n_cols=24576, mp=896) == full
     # ~900k-sample bucket: width drops to the 8-sublane floor
     kb = kernel_batch(64, n_cols=917504, mp=896)
     assert kb == 8 or full == 8
-    assert 917504 * 896 // 2 * 16 > PTR_BUDGET_BYTES  # 16 would overflow
+    assert 917504 * 896 // 2 * 16 > budget  # 16 would overflow
     # cap never goes below the sublane minimum even past the budget
     assert kernel_batch(64, n_cols=8 * 1024 * 1024, mp=896) == 8
+    # a malformed override falls back instead of raising
+    monkeypatch.setenv("STRIQUE_PTR_BUDGET_GB", "not-a-number")
+    assert ptr_budget_bytes() > 0
+    # without an override the budget comes from device stats (or the
+    # 3.5 GB fallback) and is always a sane positive size
+    monkeypatch.delenv("STRIQUE_PTR_BUDGET_GB", raising=False)
+    assert ptr_budget_bytes() >= (1 << 28)

@@ -288,3 +288,25 @@ def test_conversion_preserves_non_raw_content(tmp_path):
             f["UniqueGlobalKey/channel_id/calibration"][()], [1.0, 2.0])
         np.testing.assert_array_equal(
             f[f"Raw/Reads/Read_0/Signal"][()], sig)
+
+
+def test_multi_to_single_ugk_named_child(tmp_path):
+    """A bulk read group carrying a child literally named UniqueGlobalKey
+    must merge into the created UniqueGlobalKey group instead of
+    colliding with it (h5py raises on duplicate names, aborting the
+    conversion)."""
+    rid = "read-ugk-child"
+    src = tmp_path / f"{rid}.fast5"
+    sig = np.arange(32, dtype=np.int16)
+    make_single_f5(src, rid, sig)
+    bulk = tmp_path / "packed.fast5"
+    fast5.singles_to_multi([str(src)], str(bulk))
+    with h5py.File(bulk, "r+") as f:
+        extra = f.create_group(f"read_{rid}/UniqueGlobalKey/context_args")
+        extra.attrs["note"] = np.bytes_(b"kept")
+    out = tmp_path / "single_out.fast5"
+    with h5py.File(bulk) as f:
+        fast5.multi_group_to_single(f, f"read_{rid}", str(out))
+    with h5py.File(out) as f:
+        assert f["UniqueGlobalKey/context_args"].attrs["note"] == b"kept"
+        np.testing.assert_array_equal(f["Raw/Reads/Read_0/Signal"][()], sig)

@@ -107,3 +107,55 @@ def test_viterbi_pallas_real_hmm():
     from strique_tpu.ops.viterbi import count_repeats
 
     assert count_repeats(np.asarray(paths[0]), int(lens[0]), chm) == 8
+
+
+def test_align_wave_matches_column_and_scan():
+    """The wavefront kernel must be BIT-identical to the column kernel
+    and the XLA scan kernel: it carries the column cummax as a running
+    per-lane value (same max-sets, same add expression trees), so the
+    float32 value stream is the same by construction.  Guards scores,
+    end columns and full tracebacks across gap-parameter branches."""
+    from strique_tpu.ops.align import align_batch
+
+    rng = np.random.default_rng(7)
+    for p in (AlignParams(),
+              AlignParams(gap_open_h=-3.0, gap_extension_h=-0.5,
+                          gap_open_v=-20.0, gap_extension_v=-4.0),
+              AlignParams(gap_open_h=1.0, gap_extension_h=0.5)):
+        B, N, M = 8, 512, 40
+        template = rng.uniform(60, 120, M).astype(np.float32)
+        signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+        for i in range(4):
+            st = 50 + i * 60
+            signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+        na = rng.integers(300, 500, B).astype(np.int32)
+        col = align_batch(signals, na, template, p, impl="pallas_col")
+        wave = align_batch(signals, na, template, p, impl="pallas_wave")
+        xla = align_batch(signals, na, template, p, impl="xla")
+        for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+            np.testing.assert_array_equal(np.asarray(col[k]), np.asarray(wave[k]),
+                                          err_msg=f"{k} col vs wave")
+            np.testing.assert_array_equal(np.asarray(xla[k]), np.asarray(wave[k]),
+                                          err_msg=f"{k} xla vs wave")
+
+
+def test_align_wave_score_only_matches():
+    """with_ptr=False must produce the identical bottom-row score stream
+    (the pass-1 mode of the checkpointed ultra-long path)."""
+    import jax.numpy as jnp
+
+    from strique_tpu.ops.align_pallas import align_forward_wave, pad_template
+
+    rng = np.random.default_rng(11)
+    B, N, M = 8, 256, 24
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    na = np.full(B, N - 10, np.int32)
+    tp, m = pad_template(template)
+    ptr, bs = align_forward_wave(jnp.asarray(signals), jnp.asarray(na),
+                                 jnp.asarray(tp), p, m, True)
+    none_ptr, bs2 = align_forward_wave(jnp.asarray(signals), jnp.asarray(na),
+                                       jnp.asarray(tp), p, m, False)
+    assert none_ptr is None and ptr is not None
+    np.testing.assert_array_equal(np.asarray(bs), np.asarray(bs2))

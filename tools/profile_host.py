@@ -72,7 +72,10 @@ def main():
         from strique_tpu.detect.packed import unpack_meta
 
         meta_np = np.asarray(state["bounds_dev"])[: len(reads)]
-        mat = counter._viterbi_collect(state["vit"])
+        # detect_middle only sets 'vit' when at least one read passed the
+        # QC gate; an all-gated-out run still profiles the meta decode
+        mat = (counter._viterbi_collect(state["vit"])
+               if state.get("vit") is not None else np.zeros((0, 1), np.int32))
 
         def decode_all():
             rows = unpack_meta(meta_np)
