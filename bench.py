@@ -139,6 +139,52 @@ def main():
         return sum(int(res.get(i) is not None and res[i][0] == nrep)
                    for i, (_, nrep, _) in enumerate(ragged))
 
+    # mod phase: methylation calling throughput (the reference paper's
+    # headline use case, scripts/STRique.py:605-609).  Canonical- and
+    # mCpG-generated reads stream through the 4-stage scheduler (mod
+    # Viterbi dispatches overlapped, not as a post-batch tail); counts
+    # must stay exact and the two populations must separate.
+    MOD_MODEL_FILE = "/root/reference/models/r9_4_450bps_mCpG.model"
+    n_mod = int(os.environ.get("BENCH_MOD_READS", "96"))
+    pm_mod = PoreModel(MOD_MODEL_FILE)
+    mod_counter = RepeatCounter(MODEL_FILE, mod_model_file=MOD_MODEL_FILE)
+    mod_counter.add_target("c9orf72", "GGCCCC", PREFIX, SUFFIX)
+    mod_repeats = 50
+    mseq = backbone[:1000] + PREFIX + "GGCCCC" * mod_repeats + SUFFIX + backbone[-1000:]
+    mod_sigs = []
+    for i in range(n_mod):
+        gen = pm if i % 2 == 0 else pm_mod
+        mod_sigs.append(gen.generate_signal(mseq, samples=8, noise=True, rng=rng))
+    mlen = max(len(s) for s in mod_sigs)
+    mod_sigs = [np.pad(s, (0, mlen - len(s)), mode="edge") for s in mod_sigs]
+
+    def mod_pass():
+        from strique_tpu.detect.stream import StreamScheduler
+
+        res = {}
+        sched = StreamScheduler(mod_counter, lambda ctx, out: res.__setitem__(ctx, out),
+                                batch_size=batch)
+        for i, sig in enumerate(mod_sigs):
+            sched.add(i, "c9orf72", "+", sig)
+        sched.close()
+        ok = sep = 0
+        for i in range(n_mod):
+            r = res.get(i)
+            if r is None or r[0] != mod_repeats or not r[6] or r[6] == "-":
+                continue
+            ok += 1
+            frac1 = r[6].count("1") / len(r[6])
+            sep += int(frac1 > 0.5 if i % 2 else frac1 < 0.5)
+        return ok, sep
+
+    mod_pass()  # warm/compile the mod pipelines
+    dts_mod = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mod_ok, mod_sep = mod_pass()
+        dts_mod.append(time.perf_counter() - t0)
+    mod_rps = n_mod / min(dts_mod)
+
     ragged_pass()  # compile the bucket set + warm
     dts_ragged = []
     for _ in range(2):
@@ -158,6 +204,7 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
         "ragged_reads_per_sec": round(ragged_rps, 3),
+        "mod_reads_per_sec": round(mod_rps, 3),
         "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
         # value/ragged are best-of-2 (link noise suppression); the means
         # and pass-to-pass spreads keep cross-round comparisons honest
@@ -172,6 +219,8 @@ def main():
           f"read length {max_len}", file=sys.stderr)
     print(f"# ragged: {n_ragged} reads in {dt_ragged:.2f}s; accuracy {ragged_ok}/{n_ragged}",
           file=sys.stderr)
+    print(f"# mod: {n_mod} reads in {min(dts_mod):.2f}s; count accuracy {mod_ok}/{n_mod}; "
+          f"separation {mod_sep}/{n_mod}", file=sys.stderr)
 
 
 if __name__ == "__main__":

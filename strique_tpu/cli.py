@@ -30,6 +30,18 @@ def cmd_index(argv) -> int:
     return 0
 
 
+def _enable_persistent_cache(jax) -> None:
+    """Persistent kernel cache: repeat invocations skip the Mosaic/XLA
+    compiles (~3-90 s per shape on a TPU backend) entirely."""
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "strique_tpu", "jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
+
 def cmd_count(argv) -> int:
     parser = argparse.ArgumentParser(description="STR detection in raw nanopore data")
     parser.add_argument("f5Index", help="Fast5 index")
@@ -70,15 +82,7 @@ def cmd_count(argv) -> int:
 
     import jax
 
-    # persistent kernel cache: repeat invocations skip the Mosaic/XLA
-    # compiles (~60-90 s per shape on a TPU backend) entirely
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "strique_tpu", "jax"))
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-    except Exception:
-        pass
+    _enable_persistent_cache(jax)
 
     from .detect.detector import RepeatDetector
     from .detect.writer import OutputWriter, processed_ids
@@ -260,6 +264,110 @@ def cmd_plot(argv) -> int:
     return 0
 
 
+def cmd_warmup(argv) -> int:
+    """Pre-compile the device pipelines for a config into the persistent
+    kernel cache, so the first real ``count`` run starts at full speed.
+
+    The reference has no compile cost; a cold TPU run otherwise pays
+    ~3-90 s per (bucket, pipeline) shape on first contact with each
+    read-length bucket.  Warmup drives one synthetic full-path batch per
+    target x strand x jit bucket (flank alignment, bounds, Viterbi, and
+    the mod pipeline when --mod_model is given) and reports per-shape
+    compile cost vs hot cost.
+    """
+    parser = argparse.ArgumentParser(description="Pre-compile device pipelines")
+    parser.add_argument("model", help="Pore model")
+    parser.add_argument("repeat", help="Repeat region config file")
+    parser.add_argument("--config", help="Config file with HMM transition probabilities")
+    parser.add_argument("--mod_model", default=None, help="Base modification pore model")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="Reads per device batch (match your count run)")
+    parser.add_argument("--min_len", type=int, default=4096,
+                        help="Shortest read-length bucket to compile")
+    parser.add_argument("--max_len", type=int, default=65536,
+                        help="Longest read-length bucket to compile")
+    parser.add_argument("--devices", default="1",
+                        help="Data-parallel device count to warm ('auto' = all local)")
+    parser.add_argument("--log_level", default="warning",
+                        choices=["error", "warning", "info", "debug"])
+    args = parser.parse_args(argv)
+    ulog.init(log_level=args.log_level)
+    config = parse_config(args.repeat, args.config)
+
+    import time
+
+    import jax
+    import numpy as np
+
+    _enable_persistent_cache(jax)
+    from .detect.counter import (RepeatCounter, reverse_complement,
+                                 signal_bucket)
+    from .parallel.mesh import make_mesh
+
+    if args.devices == "auto":
+        n_dev = len(jax.local_devices())
+    else:
+        n_dev = min(max(int(args.devices), 1), len(jax.local_devices()))
+    mesh = make_mesh({"data": n_dev}, jax.local_devices()[:n_dev]) if n_dev > 1 else None
+    batch = args.batch or (64 if jax.default_backend() == "tpu" else 8)
+    counter = RepeatCounter(args.model, mod_model_file=args.mod_model,
+                            align_config=config["align"], hmm_config=config["HMM"],
+                            mesh=mesh)
+    # repeat config rows are (chr, begin, end, repeat, prefix, suffix)
+    loci = {name: {"repeat": t[3], "prefix": t[4], "suffix": t[5]}
+            for name, t in config["repeat"].items()}
+    for name, t in loci.items():
+        counter.add_target(name, t["repeat"], t["prefix"], t["suffix"])
+
+    # unique jit buckets in range (the {1,1.25,1.5,1.75} x 2^k grid
+    # rounded to the kernels' chunk sizes — same mapping the stream
+    # scheduler keys on)
+    buckets, n = [], args.min_len
+    while n <= args.max_len:
+        b = signal_bucket(n)
+        if not buckets or b != buckets[-1]:
+            buckets.append(b)
+        n = b + 1
+    pm = counter.pm
+    rng = np.random.default_rng(0)
+    total_t0 = time.perf_counter()
+    n_cold = 0
+    for name, t in loci.items():
+        base = t["prefix"] + t["repeat"] * 8 + t["suffix"]
+        for strand in ("+", "-"):
+            for bucket in buckets:
+                # a real detectable read whose padded length lands in this
+                # bucket: repeat units scaled so the locus fills ~half the
+                # bucket, backbone fills the rest, end-sliced to fit
+                per_unit = max(len(t["repeat"]) * 9, 1)
+                k = max(int(bucket // 2 // per_unit) - len(base) // len(t["repeat"]), 2)
+                seq = t["prefix"] + t["repeat"] * k + t["suffix"]
+                bb = "".join(rng.choice(list("ACTG"), max(bucket // 9, 64)))
+                seq = bb[: len(bb) // 2] + seq + bb[len(bb) // 2 :]
+                if strand == "-":
+                    seq = reverse_complement(seq)
+                sig = pm.generate_signal(seq, samples=8, noise=True, rng=rng)
+                sig = sig[:bucket] if len(sig) > bucket else np.pad(
+                    sig, (0, 0), mode="edge")
+                if signal_bucket(len(sig)) != bucket:
+                    sig = np.pad(sig, (0, bucket - len(sig)), mode="edge")
+                reads = [sig] * batch
+                t0 = time.perf_counter()
+                counter.detect_many(name, reads, strand)
+                cold = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                counter.detect_many(name, reads, strand)
+                hot = time.perf_counter() - t0
+                n_cold += 1
+                print(f"{name}\t{strand}\tbucket={bucket}\t"
+                      f"cold={cold:.2f}s\thot={hot:.2f}s")
+    print(f"# warmed {n_cold} target/strand/bucket shapes in "
+          f"{time.perf_counter() - total_t0:.1f}s; cache persists at "
+          f"{jax.config.jax_compilation_cache_dir}")
+    ulog.close()
+    return 0
+
+
 def cmd_extract(argv) -> int:
     parser = argparse.ArgumentParser(description="Fast5 extraction")
     parser.add_argument("batch", help="Input batch (.tar/.fast5/.txt of read IDs)")
@@ -275,7 +383,8 @@ def cmd_extract(argv) -> int:
     return 0
 
 
-COMMANDS = {"index": cmd_index, "count": cmd_count, "plot": cmd_plot, "extract": cmd_extract}
+COMMANDS = {"index": cmd_index, "count": cmd_count, "plot": cmd_plot,
+            "extract": cmd_extract, "warmup": cmd_warmup}
 
 
 def main(argv=None) -> int:
@@ -287,7 +396,8 @@ def main(argv=None) -> int:
               "   index      Index batch(es) of bulk-fast5 or tar archived single fast5\n"
               "   count      Count single read repeat expansions\n"
               "   plot       Plot repeat signal after counting\n"
-              "   extract    Extract single reads from indexed sequencing run\n")
+              "   extract    Extract single reads from indexed sequencing run\n"
+              "   warmup     Pre-compile device pipelines into the persistent cache\n")
     parser.add_argument("command", choices=sorted(COMMANDS))
     args = parser.parse_args(argv[:1])
     return COMMANDS[args.command](argv[1:])

@@ -660,8 +660,15 @@ class RepeatCounter:
         score_suffix, prefix_begin, prefix_end, suffix_begin, suffix_end);
         paths/seg_lens keyed by read index for gated-in reads.  Shared by
         :meth:`detect_finish` and the parity tools so the packed layouts
-        have exactly one decoder.
+        have exactly one decoder.  Cached on the state dict (the mod
+        pipeline phase and finish both consume it).
         """
+        if "decoded" in state:
+            return state["decoded"]
+        state["decoded"] = self._decode_bounds_uncached(state)
+        return state["decoded"]
+
+    def _decode_bounds_uncached(self, state: dict):
         tc = state["tc"]
         flts = state["flts"]
         n_sigs = state["n_sigs"]
@@ -730,42 +737,81 @@ class RepeatCounter:
                     paths[i] = all_paths[k]
         return bounds, paths, seg_lens
 
-    def detect_finish(self, state: dict):
-        """Final phase: collect device results and decode on host."""
+    def detect_mod_submit(self, state: dict) -> dict:
+        """Mod-model pipeline phase: dispatch the mod Viterbi early.
+
+        No-op without a mod model, so schedulers can call it
+        unconditionally between :meth:`detect_middle` and
+        :meth:`detect_finish`.  With one, this collects the main decode,
+        extracts the per-read repeat-unit signals (host prep fanned out
+        over the thread pool), dispatches the mod Viterbi, and builds
+        the non-mod result fields while it runs — the mod decode of
+        batch k then overlaps the alignment of batch k+2 instead of
+        costing a serial post-batch device round-trip (the reference
+        runs its mod HMM inline per read, scripts/STRique.py:605-609).
+        """
         tc = state["tc"]
+        if "modsub" in state or tc.mod_hmm is None or not self.has_mod:
+            return state
         raws = state["raws"]
         flts = state["flts"]
         B = state["B"]
         bounds, paths, seg_lens = self.decode_bounds(state)
+        mm = tc.mod_hmm.meta
 
+        def _mod_input(i):
+            ok, _sp, _ss, prefix_begin, _pe, _sb, suffix_end = bounds[i]
+            if not ok:
+                return None
+            mask = viterbi_ops.repeat_sample_mask(paths[i], seg_lens[i], tc.repeat_hmm)
+            nrm = self.pm.normalize2model(raws[i], mode="minmax")
+            rep_signal = nrm[prefix_begin:suffix_end][mask]
+            if not len(rep_signal):
+                return None
+            return np.clip(rep_signal, mm["model_min"], mm["model_max"]).astype(np.float32)
+
+        rep_signals = list(self._prep_pool().map(_mod_input, range(B)))
+        mod_jobs = [(i, s) for i, s in enumerate(rep_signals) if s is not None]
+        handle = (self._viterbi_submit(tc.mod_hmm, [s for _, s in mod_jobs])
+                  if mod_jobs else None)
+        # main-result decode happens here, overlapping the mod dispatch
+        results = self._main_results(state)
+        state["modsub"] = (results, [(i, len(s)) for i, s in mod_jobs], handle)
+        return state
+
+    def _main_results(self, state: dict) -> list:
+        """Non-mod result rows (n, scores, log_p, offset, ticks, '-')."""
+        tc = state["tc"]
+        flts = state["flts"]
+        B = state["B"]
+        bounds, paths, seg_lens = self.decode_bounds(state)
         results = []
-        mod_jobs = []
         for i in range(B):
             ok, score_prefix, score_suffix, prefix_begin, prefix_end, suffix_begin, suffix_end = bounds[i]
             n = 0
             p = 0.0
-            mod = "-"
             if ok:
                 path = paths[i]
                 t_seg = seg_lens[i]
                 segment = flts[i][prefix_begin:suffix_end]
                 n = viterbi_ops.count_repeats(path, t_seg, tc.repeat_hmm)
                 p = viterbi_ops.path_logp_f64(segment, path, tc.repeat_hmm)
-                if self.has_mod and tc.mod_hmm is not None:
-                    nrm = self.pm.normalize2model(raws[i], mode="minmax")
-                    mask = viterbi_ops.repeat_sample_mask(path, t_seg, tc.repeat_hmm)
-                    rep_signal = nrm[prefix_begin:suffix_end][mask]
-                    if len(rep_signal):
-                        mm = tc.mod_hmm.meta
-                        rep_signal = np.clip(rep_signal, mm["model_min"], mm["model_max"])
-                        mod_jobs.append((len(results), rep_signal.astype(np.float32)))
             results.append([n, score_prefix, score_suffix, p, prefix_end,
-                            max(suffix_begin - prefix_end, 0), mod])
-        if mod_jobs:
-            mpaths = self._viterbi_batch(tc.mod_hmm, [s for _, s in mod_jobs])
-            for k, (ri, s) in enumerate(mod_jobs):
-                results[ri][6] = viterbi_ops.mod_pattern(mpaths[k], len(s), tc.mod_hmm)
-        return [tuple(r) for r in results]
+                            max(suffix_begin - prefix_end, 0), "-"])
+        return results
+
+    def detect_finish(self, state: dict):
+        """Final phase: collect device results and decode on host."""
+        tc = state["tc"]
+        state = self.detect_mod_submit(state)  # no-op unless mod model
+        if "modsub" in state:
+            results, mod_info, handle = state["modsub"]
+            if handle is not None:
+                mpaths = self._viterbi_collect(handle)
+                for k, (ri, slen) in enumerate(mod_info):
+                    results[ri][6] = viterbi_ops.mod_pattern(mpaths[k], slen, tc.mod_hmm)
+            return [tuple(r) for r in results]
+        return [tuple(r) for r in self._main_results(state)]
 
     def _viterbi_batch(self, chm, segments) -> np.ndarray:
         """Decode a list of segments in one vmapped device dispatch.

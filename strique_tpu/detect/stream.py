@@ -41,7 +41,26 @@ from .counter import signal_bucket
 FIXED_BATCH_COST = 8192
 
 
+def _wave_active() -> bool:
+    """True when the TPU wavefront align kernel is in use (its per-call
+    time is flat in width, changing the merge cost model)."""
+    try:
+        import jax
+
+        return (jax.default_backend() == "tpu"
+                and os.environ.get("STRIQUE_ALIGN_KERNEL") != "col")
+    except Exception:
+        return False
+
+
 def _batch_cost(bucket: int, n: int) -> float:
+    if _wave_active():
+        from ..ops.align_pallas import BATCH_TPU_WAVE
+
+        # wave kernel: one fixed-width call per ceil(n/width) reads,
+        # cost ~ bucket per call regardless of how full the call is
+        calls = -(-n // BATCH_TPU_WAVE)
+        return bucket * float(calls) + FIXED_BATCH_COST
     full, rem = divmod(n, 32)
     factor = float(full)
     if rem:
@@ -102,15 +121,21 @@ class StreamScheduler:
         self.max_queued = max_queued if max_queued is not None else 4 * self.batch_size
         self.queues: dict[tuple, list] = {}
         self.n_queued = 0
-        # three-stage pipeline: submitted batches await their middle phase
+        # staged pipeline: submitted batches await their middle phase
         # (split path: bounds D2H + Viterbi dispatch) in ``inflight``, then
-        # their finish in ``ready`` — so a batch's Viterbi runs on device
-        # while later batches are still aligning, and the host never waits
-        # on a transfer it could have overlapped.  For fused/two-phase
-        # counter states the middle phase is a no-op and this degrades to
-        # the old two-stage pipeline.
+        # their mod phase in ``ready``, then their finish in ``modq`` — so
+        # a batch's Viterbi (and mod Viterbi) runs on device while later
+        # batches are still aligning, and the host never waits on a
+        # transfer it could have overlapped.  For fused/two-phase counter
+        # states the middle phase is a no-op; without a mod model the mod
+        # phase is too, degrading to the round-3 three-stage pipeline.
         self.inflight: deque = deque()
         self.ready: deque = deque()
+        # fourth stage (mod models only; detect_mod_submit is a no-op
+        # otherwise): batch k's mod Viterbi dispatches as soon as its
+        # main decode lands, so it runs on device while batch k+1 aligns
+        # instead of serializing inside detect_finish
+        self.modq: deque = deque()
         # async submission: detect_submit (host prep + upload + align
         # dispatch) runs on a dedicated thread so later batches prep while
         # this thread blocks on an earlier batch's device results — the
@@ -157,6 +182,8 @@ class StreamScheduler:
         while self.inflight:
             self._advance_one()
         while self.ready:
+            self._mod_one()
+        while self.modq:
             self._drain_one()
         if self._submit_pool is not None:
             self._submit_pool.shutdown(wait=True)
@@ -192,6 +219,8 @@ class StreamScheduler:
         while len(self.inflight) > self.depth:
             self._advance_one()
         while len(self.ready) > self.depth:
+            self._mod_one()
+        while len(self.modq) > self.depth:
             self._drain_one()
 
     def _advance_one(self) -> None:
@@ -210,8 +239,22 @@ class StreamScheduler:
                 state = None
         self.ready.append((target_name, strand, items, state))
 
-    def _drain_one(self) -> None:
+    def _mod_one(self) -> None:
         target_name, strand, items, state = self.ready.popleft()
+        if state is not None:
+            try:
+                state = self.counter.detect_mod_submit(state)
+            except KeyboardInterrupt:
+                raise
+            except Exception:
+                log("Factory: Unexpected error in batch mod phase, retrying "
+                    "reads individually.\n"
+                    + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
+                state = None
+        self.modq.append((target_name, strand, items, state))
+
+    def _drain_one(self) -> None:
+        target_name, strand, items, state = self.modq.popleft()
         outs = None
         if state is not None:
             try:

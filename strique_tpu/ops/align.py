@@ -211,6 +211,110 @@ def _align_batch_wave(signals, n_actual, template_padded,
     return {"score": score, "j_end": j_end, **tb}
 
 
+def align_batch_longread(signals, n_actual, template_np: np.ndarray,
+                         params: AlignParams, ckpt_steps: int = 16384):
+    """Checkpointed two-pass alignment for reads past the pointer budget.
+
+    Exact by construction (see ops.align_pallas two-pass notes): pass 1
+    runs the score-only wavefront with diagonal-state checkpoints every
+    ``ckpt_steps``; pass 2 recomputes pointers for a window that
+    provably contains the optimal path, resuming from the checkpoint at
+    its start — the restart state equals the full DP state, so pointers
+    and tracebacks are bit-identical to a (hypothetical) full plane.
+    Memory: O(ND/ckpt_steps + W) per read instead of O(ND).  The
+    reference's full-matrix SeqAn DP (src/align_raw.h:117-158) has no
+    such mode and exhausts host RAM at the same scale.
+    """
+    from .align_pallas import (CHUNK, align_forward_ckpt,
+                               align_window_from_state, pad_template,
+                               wave_span_bound_steps)
+
+    signals = np.asarray(signals, np.float32)
+    n_actual = np.asarray(n_actual, np.int32)
+    B, N = signals.shape
+    assert B % 8 == 0
+    tmpl_padded, m = pad_template(np.asarray(template_np))
+    mp = tmpl_padded.shape[1]
+    bound = wave_span_bound_steps(params, m)
+    if bound is None:
+        raise ValueError(
+            "two-pass alignment needs negative horizontal gap costs "
+            "(no span bound exists otherwise); use the one-pass kernel")
+    ckpt_chunks = max(ckpt_steps // CHUNK, 1)
+    ckpt_steps = ckpt_chunks * CHUNK
+    # pad N so ND divides the checkpoint stride
+    nd = ((N + mp + ckpt_steps - 1) // ckpt_steps) * ckpt_steps
+    npad = nd - mp - N
+    if npad:
+        signals = np.pad(signals, ((0, 0), (0, npad)))
+        N = signals.shape[1]
+    W = ((bound + ckpt_steps + CHUNK - 1) // CHUNK) * CHUNK
+
+    import jax.numpy as jnp
+
+    bottom_steps, ckpts = align_forward_ckpt(
+        jnp.asarray(signals), jnp.asarray(n_actual), jnp.asarray(tmpl_padded),
+        params, m, ckpt_chunks)
+    # exact score / j_end from the step-space bottoms (column j at step
+    # m+j-1; virtual column 0 = full-template vertical gap)
+    bottom_cols = bottom_steps[:, m : m + N]
+    b0 = jnp.float32(params.gap_open_v) + jnp.float32(params.gap_extension_v) * (m - 1)
+    bottom = jnp.concatenate([jnp.full((B, 1), b0), bottom_cols], axis=1)
+    j_end = np.asarray(jnp.argmax(bottom, axis=1)).astype(np.int64)
+    score = np.asarray(jnp.take_along_axis(bottom, jnp.asarray(j_end)[:, None], axis=1))[:, 0]
+
+    # per-read window: [t0, t0+W) with t0 on a checkpoint boundary at or
+    # before t_end - bound, so every step the traceback can visit is
+    # in-window; W >= bound + ckpt_steps makes t_end fit
+    t_end = j_end + m - 1
+    t0 = np.maximum(t_end - bound, 0) // ckpt_steps * ckpt_steps
+    cold = (t0 == 0).astype(np.int32)
+    slot = t0 // ckpt_steps - 1  # checkpoint slot g-1; cold reads ignore it
+    slot_d = jnp.asarray(np.maximum(slot, 0), jnp.int32)
+
+    # gather per-read restart state (cold reads get cold-start values)
+    lane = np.arange(mp)
+    cold_state = [
+        np.where(lane == 0, 0.0, NEG).astype(np.float32)[None, :].repeat(B, 0),
+        np.full((B, mp), NEG, np.float32),
+        np.full((B, mp), NEG, np.float32),
+        np.full((B, mp), NEG, np.float32),
+        np.zeros((B, mp), np.int32),
+    ]
+    state5 = []
+    for k in range(5):
+        warm = np.asarray(jnp.take_along_axis(
+            ckpts[k], slot_d[None, :, None], axis=0)[0])
+        state5.append(np.where(cold[:, None] == 1, cold_state[k], warm))
+    # per-read signal window a[t0 .. t0+W) and reversed pre-window R init
+    sig_ext = np.pad(signals, ((0, 0), (mp, W)))  # mp lead for R, W tail
+    sig_win = np.zeros((B, W), np.float32)
+    r_init = np.full((B, mp), NEG, np.float32)
+    for i in range(B):
+        s = int(t0[i])
+        sig_win[i] = sig_ext[i, mp + s : mp + s + W]
+        r_init[i] = sig_ext[i, s : mp + s][::-1]
+    steps_needed = (t_end - t0 + 1).astype(np.int32)
+
+    ptr = align_window_from_state(
+        jnp.asarray(sig_win), jnp.asarray(r_init),
+        tuple(jnp.asarray(x) for x in state5), jnp.asarray(cold),
+        jnp.asarray(steps_needed), jnp.asarray(tmpl_padded), params, m)
+
+    # traceback per read in local step space (j_local = j_global - t0)
+    j_end_local = jnp.asarray((j_end - t0).astype(np.int32))
+    tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m, packed="diag"),
+                  in_axes=(1, 0))(ptr, j_end_local)
+    out = {
+        "score": jnp.asarray(score.astype(np.float32)),
+        "j_end": jnp.asarray(j_end.astype(np.int32)),
+        "is_gap": tb["is_gap"],
+        "jpos": tb["jpos"] + jnp.asarray(t0.astype(np.int32))[:, None],
+        "j_begin": tb["j_begin"] + jnp.asarray(t0.astype(np.int32)),
+    }
+    return out
+
+
 def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
                impl: str = "auto"):
     """Batched alignment on local data — traceable inside jit/shard_map.
@@ -241,14 +345,37 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
         if npad:
             signals = jnp.pad(signals, ((0, 0), (0, npad)))
         tmpl_padded, m = pad_template(np.asarray(template_np))
+        if impl == "pallas_wave":
+            # past the HBM budget even a width-8 one-pass pointer plane
+            # cannot exist: route to the exact checkpointed two-pass
+            from .align_pallas import ptr_budget_bytes, wave_span_bound_steps
+
+            nd = signals.shape[1] + tmpl_padded.shape[1]
+            if (nd * 8 * tmpl_padded.shape[1] // 2 > ptr_budget_bytes()
+                    and wave_span_bound_steps(params, m) is not None):
+                sig_np = np.asarray(signals)
+                na_np = np.asarray(n_actual)
+                outs = []
+                for g0 in range(0, B, 8):  # 8-wide groups bound pass-1 memory
+                    sl = sig_np[g0 : g0 + 8]
+                    na = na_np[g0 : g0 + 8]
+                    if len(sl) < 8:
+                        sl = np.pad(sl, ((0, 8 - len(sl)), (0, 0)))
+                        na = np.pad(na, (0, 8 - len(na)), constant_values=1)
+                    outs.append(align_batch_longread(sl, na, template_np, params))
+                return {k: jnp.concatenate([o[k] for o in outs])[:B]
+                        for k in outs[0]}
         tmpl_dev = jnp.asarray(tmpl_padded)
         outs = []
         b0 = 0
         while b0 < B:
             # full groups at the 32-wide kernel; the tail at the smallest
             # covering width (8/16/24) so partial batches don't pay full price
-            kb = kernel_batch(B - b0, n_cols=signals.shape[1],
-                              mp=tmpl_padded.shape[1])
+            wave = impl == "pallas_wave"
+            # wave pointer plane covers N + MP diagonal steps
+            n_cols = signals.shape[1] + (tmpl_padded.shape[1] if wave else 0)
+            kb = kernel_batch(B - b0, n_cols=n_cols,
+                              mp=tmpl_padded.shape[1], wave=wave)
             end = b0 + kb
             sl, na = signals[b0:end], n_actual[b0:end]
             if end > B:

@@ -99,22 +99,35 @@ def ptr_budget_bytes() -> int:
     return _ptr_budget_cache[0]
 
 
+# wavefront kernel width: the wave kernel is latency-bound on its
+# serial per-diagonal chain, so per-call time is nearly flat in width
+# (B=8: 30.8 ms, B=32: 23.9, B=64: 33.4 on the bench shape; B=96+
+# exceeds the Mosaic allocation limit) — one 64-wide shape serves every
+# batch (tails pad up on device for free), halving per-read cost vs the
+# column kernel's 32 and collapsing the compile set to one width.
+BATCH_TPU_WAVE = max(8, -(-int(_env_number("STRIQUE_ALIGN_BATCH_WAVE", 64)) // 8) * 8)
+
+
 def kernel_batch(b: int | None = None, n_cols: int | None = None,
-                 mp: int | None = None) -> int:
+                 mp: int | None = None, wave: bool = False) -> int:
     """Per-call read batch for the current backend.
 
-    ``b``: remaining group size.  Full groups run at BATCH_TPU; partial
-    tails run at the smallest multiple of 8 that covers them — per-call
-    time is ~(0.17 + 0.026·B)·t32 (tools/profile_align_cost.py), so an
-    8-wide tail call costs ~0.38x a 32-wide one.  With ``n_cols``/``mp``
-    the width also shrinks (never below the 8-sublane minimum) so the
-    pointer plane stays inside PTR_BUDGET_BYTES — ultra-long reads run
-    as more, narrower kernel calls instead of exhausting HBM.
+    ``b``: remaining group size.  Column kernel: full groups run at
+    BATCH_TPU; partial tails run at the smallest multiple of 8 that
+    covers them — per-call time is ~(0.17 + 0.026·B)·t32
+    (tools/profile_align_cost.py), so an 8-wide tail call costs ~0.38x
+    a 32-wide one.  Wave kernel: always BATCH_TPU_WAVE (flat per-call
+    latency — see above).  With ``n_cols``/``mp`` the width shrinks
+    (never below the 8-sublane minimum) so the pointer plane stays
+    inside the HBM budget — ultra-long reads run as more, narrower
+    kernel calls instead of exhausting HBM.
     """
     import jax
 
     if jax.default_backend() != "tpu":
         kb = BATCH
+    elif wave:
+        kb = BATCH_TPU_WAVE
     elif b is None or b >= BATCH_TPU:
         kb = BATCH_TPU
     else:
@@ -348,7 +361,9 @@ def pad_template(template: np.ndarray) -> tuple[np.ndarray, int]:
 def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                  with_ptr: bool,
                  sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
-                 S1_ref, S2_ref, Ih_ref, C_ref, BV_ref, R_ref):
+                 S1_ref, S2_ref, Ih_ref, C_ref, BV_ref, R_ref,
+                 ckpt_refs=None, ckpt_chunks: int = 0,
+                 init_refs=None, cold_ref=None, window_mode: bool = False):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -369,14 +384,24 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
 
     @pl.when(chunk == 0)
     def _init():
-        # step -1 state: only lane 0 (cell (0,0): S=0, Ih=NEG) is ever
-        # read before the wavefront forces a lane's column-0 boundary
-        S1_ref[:, :] = jnp.where(row0, 0.0, NEG)
-        S2_ref[:, :] = jnp.full((batch, mp), NEG)
-        Ih_ref[:, :] = jnp.full((batch, mp), NEG)
-        C_ref[:, :] = jnp.full((batch, mp), NEG)
-        BV_ref[:, :] = jnp.zeros((batch, mp), jnp.int32)
-        R_ref[:, :] = jnp.full((batch, mp), NEG)
+        if init_refs is not None:
+            # window mode: resume from a mid-signal diagonal state (the
+            # host supplies cold-start values for reads starting at 0)
+            S1_ref[:, :] = init_refs[0][:, :]
+            S2_ref[:, :] = init_refs[1][:, :]
+            Ih_ref[:, :] = init_refs[2][:, :]
+            C_ref[:, :] = init_refs[3][:, :]
+            BV_ref[:, :] = init_refs[4][:, :]
+            R_ref[:, :] = init_refs[5][:, :]
+        else:
+            # step -1 state: only lane 0 (cell (0,0): S=0, Ih=NEG) is ever
+            # read before the wavefront forces a lane's column-0 boundary
+            S1_ref[:, :] = jnp.where(row0, 0.0, NEG)
+            S2_ref[:, :] = jnp.full((batch, mp), NEG)
+            Ih_ref[:, :] = jnp.full((batch, mp), NEG)
+            C_ref[:, :] = jnp.full((batch, mp), NEG)
+            BV_ref[:, :] = jnp.zeros((batch, mp), jnp.int32)
+            R_ref[:, :] = jnp.full((batch, mp), NEG)
 
     tmpl = tmpl_ref[:, :]
     nact = nact_ref[:, :]
@@ -425,15 +450,22 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         if force_boundary:
             # the cell (t+1, 0) enters the valid region next step: pin its
             # column-0 boundary (cheap select; only the first MP steps
-            # ever match, so the fast body skips it entirely)
+            # ever match, so the fast body skips it entirely).  In window
+            # mode only reads that (re)start at signal origin force it —
+            # mid-signal restarts carry real state in those lanes
             bmask = lane_ii == t + 1
+            if cold_ref is not None:
+                bmask = bmask & (cold_ref[:, :] != 0)
             newS = jnp.where(bmask, S0_col, newS)
             newIh = jnp.where(bmask, NEG, newIh)
-        # bottom row: cell (m, j) with j = t + 1 - m
-        j = t + 1 - m_actual
-        live = (j >= 1) & (j <= nact)
-        bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
-        bt = jnp.where(sel, bval, bt)
+        if window_mode:
+            bt = jnp.where(sel, newS[:, m_actual : m_actual + 1], bt)
+        else:
+            # bottom row: cell (m, j) with j = t + 1 - m
+            j = t + 1 - m_actual
+            live = (j >= 1) & (j <= nact)
+            bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
+            bt = jnp.where(sel, bval, bt)
         return S1, newS, newIh, newC, newBV, R, bt, acc
         # note the rotation: S2' = S1 happens via positional return order
 
@@ -451,8 +483,9 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
 
     # early exit: every pointer the traceback can visit satisfies
     # t = i + j - 1 <= m_actual + j_end - 1 < m_actual + max(nact), and
-    # lane-m bottoms past that are dead — skip whole chunks beyond it
-    mx = jnp.max(nact)
+    # lane-m bottoms past that are dead — skip whole chunks beyond it.
+    # In window mode nact already counts needed local steps.
+    mx = jnp.max(nact) + (0 if window_mode else m_actual)
 
     def _sweep(force_boundary):
         carry0 = (S1_ref[:, :], S2_ref[:, :], Ih_ref[:, :], C_ref[:, :],
@@ -466,16 +499,26 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         BV_ref[:, :] = BVf
         R_ref[:, :] = Rf
         bottom_ref[:, :] = btf
+        if ckpt_refs is not None:
+            # checkpoint output blocks revisit the same index for
+            # ckpt_chunks grid steps, so the LAST write before the index
+            # advances persists: slot g = diagonal state after step
+            # (g+1)*ckpt_chunks*CHUNK - 1 (restarts resume from slot g-1)
+            ckpt_refs[0][0, :, :] = S1f
+            ckpt_refs[1][0, :, :] = S2f
+            ckpt_refs[2][0, :, :] = Ihf
+            ckpt_refs[3][0, :, :] = Cf
+            ckpt_refs[4][0, :, :] = BVf
 
-    @pl.when((chunk < n_chunks_boundary) & (chunk * CHUNK < mx + m_actual))
+    @pl.when((chunk < n_chunks_boundary) & (chunk * CHUNK < mx))
     def _run_boundary():
         _sweep(True)
 
-    @pl.when((chunk >= n_chunks_boundary) & (chunk * CHUNK < mx + m_actual))
+    @pl.when((chunk >= n_chunks_boundary) & (chunk * CHUNK < mx))
     def _run_fast():
         _sweep(False)
 
-    @pl.when(chunk * CHUNK >= mx + m_actual)
+    @pl.when(chunk * CHUNK >= mx)
     def _skip():
         bottom_ref[:, :] = jnp.full((batch, CHUNK), NEG, jnp.float32)
 
@@ -542,3 +585,162 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
     if with_ptr:
         return outs[0], outs[1]
     return None, outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed two-pass mode for ultra-long reads
+# ---------------------------------------------------------------------------
+#
+# Past the pointer-plane HBM budget (a width-8 plane costs ~3.6 GB per
+# million samples) the one-pass kernel cannot run at all.  The two-pass
+# mode is exact by construction, with memory O(ND/C + W) per read
+# instead of O(ND):
+#
+#   pass 1  score-only wavefront forward, dumping the full diagonal
+#           state (S1, S2, Ih, C, BV) every C steps — the bottom row
+#           gives the exact global score and j_end per read;
+#   pass 2  re-run WITH pointers from the checkpoint at/before
+#           t_end - W, for W steps only.  W bounds the optimal path's
+#           diagonal extent from the scoring algebra (every horizontal
+#           step costs >= |max(go_h, ge_h)| and the score never beats
+#           m*dist_offset, so span <= m + (m*off - raw_min)/|gap|),
+#           so the restart state equals the full DP state and the
+#           windowed pointers are bit-identical to the one-pass plane.
+#
+# The reference's SeqAn DP materializes the whole matrix in host RAM
+# and hits the same wall (reference src/align_raw.h:117-158); this path
+# removes the ceiling entirely.
+
+
+def wave_span_bound_steps(params: AlignParams, m: int) -> int | None:
+    """Upper bound on an optimal path's diagonal extent, in steps.
+
+    None when horizontal gaps are free/positive (no bound exists; such
+    configs must use the one-pass plane).
+    """
+    gap = max(params.gap_open_h, params.gap_extension_h)
+    if gap >= 0:
+        return None
+    raw_min = params.gap_open_v + params.gap_extension_v * (m - 1)
+    span_cols = m + (m * params.dist_offset - raw_min) / abs(gap)
+    return int(np.ceil(span_cols)) + m + 1
+
+
+@partial(jax.jit, static_argnames=("params", "m_actual", "ckpt_chunks"))
+def align_forward_ckpt(signals, n_actual, template_padded, params: AlignParams,
+                       m_actual: int, ckpt_chunks: int):
+    """Pass 1: score-only forward with diagonal-state checkpoints.
+
+    Returns (bottom_steps (B, ND), ckpts) where ckpts is a 5-tuple of
+    (ND/(ckpt_chunks*CHUNK), B, MP) planes (S1, S2, Ih, C f32; BV i32):
+    slot g holds the state after diagonal step (g+1)*ckpt_chunks*CHUNK-1.
+    """
+    B, N = signals.shape
+    assert B % 8 == 0 and N % CHUNK == 0
+    mp = template_padded.shape[1]
+    nd = N + mp
+    n_ck = nd // (ckpt_chunks * CHUNK)
+    assert n_ck * ckpt_chunks * CHUNK == nd, "ND must divide the checkpoint stride"
+    sig_ext = jnp.pad(signals, ((0, 0), (0, mp)))
+    grid = (nd // CHUNK,)
+    n_chunks_boundary = mp // CHUNK + 1
+    interpret = jax.default_backend() != "tpu"
+
+    def kern(sig_ref, tmpl_ref, nact_ref, bottom_ref, s1c, s2c, ihc, cc, bvc,
+             *scratch):
+        _wave_kernel(params, m_actual, n_chunks_boundary, False,
+                     sig_ref, tmpl_ref, nact_ref, None, bottom_ref, *scratch,
+                     ckpt_refs=(s1c, s2c, ihc, cc, bvc), ckpt_chunks=ckpt_chunks)
+
+    ck_spec = pl.BlockSpec((1, B, mp), lambda i, _c=ckpt_chunks: (i // _c, 0, 0),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+                   ck_spec, ck_spec, ck_spec, ck_spec, ck_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nd), jnp.float32),
+            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
+            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
+            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
+            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
+            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.int32),
+            pltpu.VMEM((B, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sig_ext, template_padded, n_actual[:, None].astype(jnp.int32))
+    return outs[0], tuple(outs[1:])
+
+
+@partial(jax.jit, static_argnames=("params", "m_actual"))
+def align_window_from_state(sig_win, r_init, state5, cold, steps_needed,
+                            template_padded, params: AlignParams, m_actual: int):
+    """Pass 2: pointer-forward over a window, resuming from saved state.
+
+    sig_win: (B, W) — per-read signal samples a[t0 .. t0+W) in diagonal
+    step space; r_init: (B, MP) — lane i holds a[t0-1-i] (the reversed
+    window preceding the restart); state5: (S1, S2, Ih, C, BV) at step
+    t0-1 (host passes cold-start values with cold=1 for reads whose
+    window starts at 0); steps_needed: (B,) local steps to compute
+    (t_end - t0 + 1).  Returns the (W//8, B, MP) pointer plane in local
+    step space.
+    """
+    B, W = sig_win.shape
+    assert B % 8 == 0 and W % CHUNK == 0
+    mp = template_padded.shape[1]
+    grid = (W // CHUNK,)
+    n_chunks_boundary = mp // CHUNK + 1
+    interpret = jax.default_backend() != "tpu"
+
+    def kern(sig_ref, tmpl_ref, nact_ref, s1i, s2i, ihi, ci, bvi, ri, cold_ref,
+             ptr_ref, bottom_ref, *scratch):
+        _wave_kernel(params, m_actual, n_chunks_boundary, True,
+                     sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch,
+                     init_refs=(s1i, s2i, ihi, ci, bvi, ri), cold_ref=cold_ref,
+                     window_mode=True)
+
+    full_spec = pl.BlockSpec((B, mp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ptr, _bt = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            full_spec, full_spec, full_spec, full_spec, full_spec, full_spec,
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK // 8, B, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((W // 8, B, mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, W), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.int32),
+            pltpu.VMEM((B, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sig_win, template_padded, steps_needed[:, None].astype(jnp.int32),
+      state5[0], state5[1], state5[2], state5[3], state5[4], r_init,
+      cold[:, None].astype(jnp.int32))
+    return ptr

@@ -159,3 +159,35 @@ def test_align_wave_score_only_matches():
                                        jnp.asarray(tp), p, m, False)
     assert none_ptr is None and ptr is not None
     np.testing.assert_array_equal(np.asarray(bs), np.asarray(bs2))
+
+
+def test_align_longread_two_pass_matches(monkeypatch):
+    """The checkpointed two-pass path (pass-1 score-only + state
+    checkpoints, pass-2 windowed pointer recompute from the restart
+    state) must be BIT-identical to the one-pass wavefront: the restart
+    state equals the full DP state, so every recomputed value matches.
+    Also pins the align_core auto-route when the pointer plane exceeds
+    the HBM budget (the ultra-long regime, VERDICT round-3 item 3)."""
+    from strique_tpu.ops.align import align_batch, align_batch_longread, align_core
+
+    rng = np.random.default_rng(13)
+    B, N, M = 8, 4096, 40
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(B):
+        st = int(rng.integers(0, N - 3 * M))
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = rng.integers(N // 2, N, B).astype(np.int32)
+    one = align_batch(signals, na, template, p, impl="pallas_wave")
+    two = align_batch_longread(signals, na, template, p, ckpt_steps=512)
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(two[k]),
+                                      err_msg=k)
+    # auto-route: a tiny budget must push align_core through the
+    # two-pass path and still produce identical outputs
+    monkeypatch.setenv("STRIQUE_PTR_BUDGET_GB", "0.0001")
+    routed = align_core(signals, na, template, p, impl="pallas_wave")
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(routed[k]),
+                                      err_msg=f"routed {k}")

@@ -122,3 +122,37 @@ def test_split_mod_detection(pm):
         assert r[6] not in ("-", "")
     assert res[0][6].count("1") / len(res[0][6]) < 0.3
     assert res[1][6].count("1") / len(res[1][6]) > 0.7
+
+
+def test_scheduler_mod_pipeline(pm):
+    """The 4-stage scheduler (submit -> middle -> mod_submit -> finish)
+    must produce identical results to direct detect_many with a mod
+    model: the mod Viterbi dispatch moves into the overlapped pipeline
+    (detect_mod_submit) instead of detect_finish's tail, and batches in
+    flight must not cross-contaminate (reference STRique.py:605-609)."""
+    pm_mod = PoreModel(MOD_MODEL)
+    rc = RepeatCounter(MODEL, mod_model_file=MOD_MODEL)
+    rc.add_target("c9", REPEAT, PREFIX, SUFFIX)
+    rng = np.random.default_rng(11)
+    bb = "".join(rng.choice(list("ACTG"), 400))
+    reads = []
+    for i in range(6):
+        n_rep = (10, 14)[i % 2]
+        seq = bb[:200] + PREFIX + REPEAT * n_rep + SUFFIX + bb[200:]
+        gen = pm if i % 2 == 0 else pm_mod
+        reads.append((n_rep, gen.generate_signal(seq, samples=8, noise=True, rng=rng)))
+    direct = rc.detect_many("c9", [s for _, s in reads], "+")
+    res = {}
+    sched = StreamScheduler(rc, lambda ctx, out: res.__setitem__(ctx, out),
+                            batch_size=2, depth=2)
+    for i, (_, sig) in enumerate(reads):
+        sched.add(i, "c9", "+", sig)
+    sched.close()
+    assert len(sched.modq) == 0 and len(sched.ready) == 0
+    for i, (n_rep, _) in enumerate(reads):
+        assert res[i] is not None
+        assert res[i][0] == n_rep
+        assert res[i][6] not in ("-", "")
+        # batch size 2 puts each read in its own device batch pair; the
+        # scheduler path must agree with the direct path field-for-field
+        assert res[i] == direct[i]

@@ -204,3 +204,88 @@ def test_counts_exact_on_chip(c9_assets):
             expected.append(n_rep)
         got = [r[0] for r in counter.detect_many("c9", sigs, strand)]
         assert got == expected, f"strand {strand}: {got} != {expected}"
+
+
+def test_align_wave_on_chip_matches_column():
+    """Compiled wavefront vs column kernel on the real chip: the value
+    streams are identical by construction (the wave carries the column
+    cummax as a running lane max); this pins the Mosaic lowering of
+    both against each other and the XLA scan."""
+    from strique_tpu.ops.align import align_batch
+
+    rng = np.random.default_rng(21)
+    B, N, M = 8, 2048, 60
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(B):
+        st = 100 + i * 120
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = rng.integers(N - 600, N - 100, B).astype(np.int32)
+    col = align_batch(signals, na, template, p, impl="pallas_col")
+    wave = align_batch(signals, na, template, p, impl="pallas_wave")
+    xla = align_batch(signals, na, template, p, impl="xla")
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(col[k]), np.asarray(wave[k]),
+                                      err_msg=f"{k} col vs wave")
+    np.testing.assert_array_equal(np.asarray(xla["jpos"]), np.asarray(wave["jpos"]))
+    np.testing.assert_allclose(np.asarray(xla["score"]), np.asarray(wave["score"]),
+                               atol=1e-2)
+
+
+def test_ultralong_two_pass_count_exact(c9_assets, monkeypatch):
+    """A ~4M-sample read must count exactly within a 3.5 GB pointer
+    budget: the one-pass plane would need ~14 GB, so the counter's align
+    routes through the checkpointed two-pass (pass-1 score-only forward
+    + windowed pointer recompute).  The reference's full-matrix SeqAn DP
+    (src/align_raw.h:117-158) exhausts RAM at this scale."""
+    from strique_tpu.detect.counter import RepeatCounter
+
+    pm, chm, repeat, prefix, suffix = c9_assets
+    monkeypatch.setenv("STRIQUE_PTR_BUDGET_GB", "3.5")
+    counter = RepeatCounter(MODEL)
+    counter.add_target("c9", repeat, prefix, suffix)
+    rng = np.random.default_rng(3)
+    n_rep = 100
+    # locus embedded in a backbone long enough for a ~4M-sample signal
+    bb = "".join(rng.choice(list("ACTG"), 440_000))
+    seq = bb[:220_000] + prefix + repeat * n_rep + suffix + bb[220_000:]
+    sig = pm.generate_signal(seq, samples=9, noise=True, rng=rng)
+    assert len(sig) >= 3_900_000, len(sig)
+    out = counter.detect("c9", sig, "+")
+    assert out[0] == n_rep, out
+    assert out[1] > 4.0 and out[2] > 4.0  # QC-grade flank scores
+
+
+def test_golden_cli_on_chip(tmp_path):
+    """The full index+count CLI flow on the real chip must reproduce the
+    PARITY.md golden row for the bundled read (reference
+    docs/installation/test.md:16): count 733 in default semantics,
+    offset 1633, ticks 40758 — hardware regressions in the end-to-end
+    path go red here, not just kernel parity."""
+    import subprocess
+    import sys
+
+    idx = tmp_path / "reads.fofn"
+    env = dict(__import__("os").environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strique_tpu_cache")
+    r = subprocess.run(
+        [sys.executable, "-m", "strique_tpu.cli", "index", "/root/reference/data",
+         "--out_prefix", "/root/reference/data"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    idx.write_text(r.stdout)
+    r = subprocess.run(
+        [sys.executable, "-m", "strique_tpu.cli", "count", str(idx), MODEL,
+         "/root/reference/configs/repeat_config.tsv",
+         "--algn", "/root/reference/data/c9orf72.sam",
+         "--config", "/root/reference/configs/STRique.json"],
+        capture_output=True, text=True, env=env, timeout=1200)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [l.split("\t") for l in r.stdout.strip().split("\n")[1:]]
+    row = next(x for x in rows if x[0].startswith("ce47b364"))
+    assert row[1] == "c9orf72" and row[2] == "-"
+    assert int(row[3]) == 733          # PARITY.md default-mode count
+    assert int(row[7]) == 1633         # offset: exact vs reference
+    assert int(row[8]) == 40758        # ticks: exact vs reference
+    assert abs(float(row[4]) - 6.3156) < 0.1
