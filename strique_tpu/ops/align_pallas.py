@@ -1,22 +1,26 @@
-"""Pallas TPU kernel for the semi-global affine flank alignment.
+"""Pallas TPU kernels for the semi-global affine flank alignment.
 
-Same recurrence as :mod:`strique_tpu.ops.align` (column DP with the
-cummax-folded vertical-gap recursion), but as a single Mosaic kernel:
+Three bit-identical Mosaic implementations of the same recurrence as
+:mod:`strique_tpu.ops.align` (Gotoh with the cummax-folded vertical-gap
+recursion), replacing the reference's SeqAn engine
+(reference src/align_raw.h:106-158, src/score_distance.h:115-122):
 
-  * 8 reads are processed together, one per VPU sublane row, so every
-    (8, 128) vector register is fully occupied;
-  * template rows live along lanes (padded to a multiple of 128);
-  * the kernel grid iterates over 128-column chunks sequentially (TPU
-    grid semantics), carrying the two inter-column DP state vectors in
-    VMEM scratch — per-column cost is a handful of vector ops instead of
-    a full XLA scan-step dispatch;
-  * per-column scalars are exchanged through masked lane selects, and
-    traceback pointers accumulate in a float32 scratch block that is
-    flushed to the int8 HBM output once per chunk (Mosaic forbids
-    dynamic lane indexing and sub-tile narrow-int stores).
+  * ``align_forward_wave`` — the production kernel: an anti-diagonal
+    sweep (template rows pinned to lanes, batch on sublanes) where the
+    column cummax rides as a running per-lane value — one shifted max
+    per step instead of a serialized prefix-max chain.  Latency-bound,
+    so it runs one 64-wide shape for every batch.
+  * ``align_forward_pallas`` — the round-2/3 column sweep, retained as
+    the in-repo compiled parity reference (STRIQUE_ALIGN_KERNEL=col).
+  * ``align_forward_ckpt`` + ``align_window_from_state`` — the exact
+    checkpointed two-pass for reads past the pointer-plane HBM budget
+    (see the two-pass notes below).
 
-Pointer layout matches ops.align: byte at [read, j-1, i-1] describes DP
-cell (row i, column j); traceback reuses the same decoding.
+Shared layout rules: template rows live along lanes (padded to a
+multiple of 128); grids iterate sequentially carrying DP state in VMEM
+scratch; traceback pointers nibble-pack into int32 planes (one
+tile-aligned store per 8 columns/steps — Mosaic forbids dynamic lane
+indexing and sub-tile narrow-int stores).
 """
 from __future__ import annotations
 
@@ -106,6 +110,10 @@ def ptr_budget_bytes() -> int:
 # batch (tails pad up on device for free), halving per-read cost vs the
 # column kernel's 32 and collapsing the compile set to one width.
 BATCH_TPU_WAVE = max(8, -(-int(_env_number("STRIQUE_ALIGN_BATCH_WAVE", 64)) // 8) * 8)
+
+# steps per fori-loop iteration in the wave kernel (multiple of 8, the
+# pointer-word nibble capacity; divides CHUNK)
+WAVE_UNROLL = max(8, min(CHUNK, int(_env_number("STRIQUE_WAVE_UNROLL", 8)) // 8 * 8))
 
 
 def kernel_batch(b: int | None = None, n_cols: int | None = None,
@@ -376,7 +384,6 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
     lane_ii = jax.lax.broadcasted_iota(jnp.int32, (batch, mp), 1)
     lane_i = lane_ii.astype(jnp.float32)
     row0 = lane_ii == 0
-    sel_iota = jax.lax.broadcasted_iota(jnp.int32, (batch, CHUNK), 1)
     # column-0 boundary values (identical to the column kernel's init)
     S0_col = jnp.where(row0, 0.0, go_v + ge_v * (lane_i - 1.0))
 
@@ -413,11 +420,14 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
     neg_h = params.gap_open_h < 0 and params.gap_extension_h <= 0
 
     def diag_body(c_in, u, force_boundary, carry):
-        S1, S2, Ih, C, BV, R, bt, acc = carry
+        S1, S2, Ih, C, BV, R, rot, bt, acc = carry
         t = chunk * CHUNK + c_in  # global 0-based diagonal step
-        # slide the reversed signal window: lane 0 <- a[t]
-        sel = sel_iota == c_in
-        aj = jnp.max(jnp.where(sel, sig_tile, NEG), axis=1, keepdims=True)
+        # slide the reversed signal window: lane 0 <- a[t].  The chunk's
+        # signal tile rotates one lane per step so a[t] is always lane 0
+        # — a slice + one permute instead of a masked 128-lane max
+        # reduction on the serial chain (the kernel is latency-bound)
+        aj = rot[:, 0:1]
+        rot = jnp.concatenate([rot[:, 1:], rot[:, :1]], axis=1)
         R = jnp.concatenate([jnp.broadcast_to(aj, (batch, 1)), R[:, :-1]], axis=1)
         diff = jnp.abs(R - tmpl)
         sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
@@ -459,26 +469,35 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             newS = jnp.where(bmask, S0_col, newS)
             newIh = jnp.where(bmask, NEG, newIh)
         if window_mode:
-            bt = jnp.where(sel, newS[:, m_actual : m_actual + 1], bt)
+            bval = newS[:, m_actual : m_actual + 1]
         else:
             # bottom row: cell (m, j) with j = t + 1 - m
             j = t + 1 - m_actual
             live = (j >= 1) & (j <= nact)
             bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
-            bt = jnp.where(sel, bval, bt)
-        return S1, newS, newIh, newC, newBV, R, bt, acc
+        # append this step's bottom at the tile's tail: after the chunk's
+        # CHUNK steps, position u holds step u's value (off the serial
+        # chain, one permute instead of a masked select)
+        bt = jnp.concatenate([bt[:, 1:], bval], axis=1)
+        return S1, newS, newIh, newC, newBV, R, rot, bt, acc
         # note the rotation: S2' = S1 happens via positional return order
+
+    unroll = WAVE_UNROLL
 
     def make_body8(force_boundary):
         def body8(q, carry):
-            S1, S2, Ih, C, BV, R, bt = carry
-            acc = jnp.zeros((batch, mp), jnp.int32)
-            for u in range(8):
-                S2, S1, Ih, C, BV, R, bt, acc = diag_body(
-                    q * 8 + u, u, force_boundary, (S1, S2, Ih, C, BV, R, bt, acc))
-            if with_ptr:
-                ptr_ref[q, :, :] = acc
-            return S1, S2, Ih, C, BV, R, bt
+            # ``unroll`` steps per fori iteration (8 per pointer word):
+            # larger windows amortize the loop carry at some compile cost
+            S1, S2, Ih, C, BV, R, rot, bt = carry
+            for w in range(unroll // 8):
+                acc = jnp.zeros((batch, mp), jnp.int32)
+                for u in range(8):
+                    S2, S1, Ih, C, BV, R, rot, bt, acc = diag_body(
+                        q * unroll + w * 8 + u, u, force_boundary,
+                        (S1, S2, Ih, C, BV, R, rot, bt, acc))
+                if with_ptr:
+                    ptr_ref[q * (unroll // 8) + w, :, :] = acc
+            return S1, S2, Ih, C, BV, R, rot, bt
         return body8
 
     # early exit: every pointer the traceback can visit satisfies
@@ -489,9 +508,10 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
 
     def _sweep(force_boundary):
         carry0 = (S1_ref[:, :], S2_ref[:, :], Ih_ref[:, :], C_ref[:, :],
-                  BV_ref[:, :], R_ref[:, :], jnp.zeros((batch, CHUNK), jnp.float32))
-        S1f, S2f, Ihf, Cf, BVf, Rf, btf = jax.lax.fori_loop(
-            0, CHUNK // 8, make_body8(force_boundary), carry0)
+                  BV_ref[:, :], R_ref[:, :], sig_tile,
+                  jnp.zeros((batch, CHUNK), jnp.float32))
+        S1f, S2f, Ihf, Cf, BVf, Rf, _rotf, btf = jax.lax.fori_loop(
+            0, CHUNK // unroll, make_body8(force_boundary), carry0)
         S1_ref[:, :] = S1f
         S2_ref[:, :] = S2f
         Ih_ref[:, :] = Ihf
@@ -622,7 +642,8 @@ def wave_span_bound_steps(params: AlignParams, m: int) -> int | None:
     if gap >= 0:
         return None
     raw_min = params.gap_open_v + params.gap_extension_v * (m - 1)
-    span_cols = m + (m * params.dist_offset - raw_min) / abs(gap)
+    gain_max = max(params.dist_offset, params.dist_min)  # sc <= max(off, dmin)
+    span_cols = m + (m * gain_max - raw_min) / abs(gap)
     return int(np.ceil(span_cols)) + m + 1
 
 

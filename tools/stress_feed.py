@@ -73,12 +73,15 @@ def main():
             lambda obs, lens: recorded_paths)
 
     # --- drive the full host path flat out -----------------------------
-    writer = OutputWriter(os.devnull)
+    import tempfile
+
+    out_tsv = os.path.join(tempfile.mkdtemp(prefix="stress_feed"), "counts.tsv")
+    writer = OutputWriter(out_tsv)
     done = [0]
 
     def on_result(ctx, out):
         if out is not None:
-            writer.write_line(f"read{ctx}", "c9orf72", "+", out)
+            writer.write_line([(f"read{ctx}", "c9orf72", "+", *out)])
             done[0] += 1
 
     def stream_pass():
@@ -95,6 +98,8 @@ def main():
     dt = time.perf_counter() - t0
     rate = completed / dt
     target = target_per_chip * n_chips
+    cores = os.cpu_count() or 1
+    per_core = rate / cores
     result = {
         "host_feed_reads_per_sec": round(rate, 1),
         "target_reads_per_sec": round(target, 1),
@@ -103,7 +108,9 @@ def main():
         "margin": round(rate / target, 3),
         "reads": completed,
         "wall_s": round(dt, 3),
-        "host_cores": os.cpu_count(),
+        "host_cores": cores,
+        "feed_reads_per_sec_per_core": round(per_core, 1),
+        "cores_needed_for_target": round(target / per_core, 2),
         "note": "zero-latency device stub (recorded real outputs); measures the "
                 "complete host path: native prep, 4-stage scheduler, decode, writer",
     }
