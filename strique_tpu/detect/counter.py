@@ -336,8 +336,7 @@ class RepeatCounter:
         def tail(morph, flt, n_sigs):
             import jax.numpy as jnp
 
-            pre = align_ops.align_core(morph, n_sigs, t_pre, params)
-            suf = align_ops.align_core(morph, n_sigs, t_suf, params)
+            pre, suf = align_ops.align_fused_pair(morph, n_sigs, t_pre, t_suf, params)
             b = segment_bounds(
                 {k: pre[k] for k in ("score", "is_gap", "jpos")},
                 {k: suf[k] for k in ("score", "is_gap", "jpos")},
@@ -396,8 +395,7 @@ class RepeatCounter:
 
         def body(buf, n_sigs):
             morph = _unpack_morph_upload(buf)
-            pre = align_ops.align_core(morph, n_sigs, t_pre, params)
-            suf = align_ops.align_core(morph, n_sigs, t_suf, params)
+            pre, suf = align_ops.align_fused_pair(morph, n_sigs, t_pre, t_suf, params)
             b = segment_bounds(
                 {k: pre[k] for k in ("score", "is_gap", "jpos")},
                 {k: suf[k] for k in ("score", "is_gap", "jpos")},

@@ -107,7 +107,7 @@ def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: 
     return out
 
 
-def traceback_pointers(ptrs, j_end, m: int, packed=False):
+def traceback_pointers(ptrs, j_end, m: int, packed=False, m_start=None):
     """Walk the 4-bit pointer array back from cell (m, j_end).
 
     ``ptrs``: (N, MP) with MP >= m; byte at [j-1, i-1] describes DP cell
@@ -117,7 +117,9 @@ def traceback_pointers(ptrs, j_end, m: int, packed=False):
     (the wavefront kernel's layout), the code of cell (i, j) sits at
     diagonal step t = i + j - 1: word [t//8, i-1], nibble t % 8.
     Returns per-template-element gap flags and signal positions plus
-    ``j_begin``.
+    ``j_begin``.  ``m_start`` (traced) overrides the walk's start row
+    for per-row template lengths (flank-fused batches); ``m`` stays the
+    static output size (entries at indices >= m_start are unused).
     """
     if packed == "diag":
         def lookup(jc, ic):
@@ -164,7 +166,7 @@ def traceback_pointers(ptrs, j_end, m: int, packed=False):
         return ni, nj, ncur, nbyte, is_gap, jpos
 
     # inits are tainted with j_end for shard_map varying-axes typing (no-ops)
-    i0 = jnp.int32(m) + 0 * j_end
+    i0 = (jnp.int32(m) if m_start is None else m_start.astype(jnp.int32)) + 0 * j_end
     byte0 = lookup(j_end, i0)
     cur0 = (byte0 & 3).astype(jnp.int32)
     is_gap0 = jnp.zeros((m,), dtype=bool) | (j_end < 0)
@@ -209,6 +211,94 @@ def _align_batch_wave(signals, n_actual, template_padded,
     tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m_actual, packed="diag"),
                   in_axes=(1, 0))(ptr, j_end)
     return {"score": score, "j_end": j_end, **tb}
+
+
+@partial(jax.jit, static_argnames=("params", "m_max"))
+def _align_batch_wave_multi(signals, n_actual, tmpl_rows, m_rows,
+                            params: AlignParams, m_max: int):
+    from .align_pallas import align_forward_wave_multi
+
+    ptr, bottom_steps = align_forward_wave_multi(signals, n_actual, tmpl_rows,
+                                                 m_rows, params)
+    # leftmost-max over columns, including the virtual column 0 (b0):
+    # argmax in step space is argmax in column space (monotonic shift)
+    smax = jnp.max(bottom_steps, axis=1)
+    tstar = jnp.argmax(bottom_steps, axis=1).astype(jnp.int32)
+    jstar = tstar + 1 - m_rows.astype(jnp.int32)
+    b0 = (jnp.float32(params.gap_open_v)
+          + jnp.float32(params.gap_extension_v) * (m_rows.astype(jnp.float32) - 1.0))
+    j_end = jnp.where(b0 >= smax, 0, jstar).astype(jnp.int32)
+    score = jnp.maximum(b0, smax)
+    tb = jax.vmap(lambda p, je, mr: traceback_pointers(p, je, m_max, packed="diag",
+                                                       m_start=mr),
+                  in_axes=(1, 0, 0))(ptr, j_end, m_rows.astype(jnp.int32))
+    return {"score": score, "j_end": j_end, **tb}
+
+
+def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
+    """Both flank alignments of a batch as ONE per-row-template stream.
+
+    The wave kernel's per-call time is flat in width, so a partial batch
+    (B <= 32) pays the same for one fused 64-wide call as it would for
+    ONE of its two flank calls — this halves the align cost of ragged
+    tail batches (rows: [read0 x prefix .. readB x prefix, read0 x
+    suffix ..]).  Returns (pre, suf) dicts shaped like align_core's.
+    Falls back to two plain calls off-TPU, under STRIQUE_ALIGN_FUSE=0,
+    or past the pointer budget (the two-pass long-read route owns that
+    regime).
+    """
+    import os
+
+    signals = jnp.asarray(signals, jnp.float32)
+    n_actual = jnp.asarray(n_actual, jnp.int32)
+    t_pre = np.asarray(t_pre, np.float32)
+    t_suf = np.asarray(t_suf, np.float32)
+    from .align_pallas import (CHUNK, kernel_batch, pad_template_rows,
+                               ptr_budget_bytes)
+
+    fuse_env = os.environ.get("STRIQUE_ALIGN_FUSE")
+    use_fuse = ((jax.default_backend() == "tpu" and fuse_env != "0")
+                or fuse_env == "force")  # force: interpret-mode testing
+    if use_fuse:
+        tmpl_rows_np, ms = pad_template_rows([t_pre, t_suf])
+        mp = tmpl_rows_np.shape[1]
+        nd = signals.shape[1] + (-signals.shape[1]) % CHUNK + mp
+        if nd * 8 * mp // 2 > ptr_budget_bytes():
+            use_fuse = False
+    if not use_fuse:
+        pre = align_core(signals, n_actual, t_pre, params)
+        suf = align_core(signals, n_actual, t_suf, params)
+        return pre, suf
+
+    B, N = signals.shape
+    npad = (-N) % CHUNK
+    if npad:
+        signals = jnp.pad(signals, ((0, 0), (0, npad)))
+    m_max = int(ms.max())
+    sig2 = jnp.concatenate([signals, signals])
+    na2 = jnp.concatenate([n_actual, n_actual])
+    rows2 = np.concatenate([np.repeat(tmpl_rows_np[0:1], B, axis=0),
+                            np.repeat(tmpl_rows_np[1:2], B, axis=0)])
+    ms2 = np.concatenate([np.full(B, ms[0], np.int32), np.full(B, ms[1], np.int32)])
+    rows2_dev = jnp.asarray(rows2)
+    outs = []
+    b0 = 0
+    R = 2 * B
+    while b0 < R:
+        kb = kernel_batch(R - b0, n_cols=sig2.shape[1] + mp, mp=mp, wave=True)
+        end = b0 + kb
+        sl, na, tr, mr = (sig2[b0:end], na2[b0:end], rows2_dev[b0:end], ms2[b0:end])
+        if end > R:
+            sl = jnp.pad(sl, ((0, end - R), (0, 0)))
+            na = jnp.pad(na, (0, end - R), constant_values=1)
+            tr = jnp.pad(tr, ((0, end - R), (0, 0)), constant_values=1e30)
+            mr = np.pad(mr, (0, end - R), constant_values=1)
+        outs.append(_align_batch_wave_multi(sl, na, tr, jnp.asarray(mr), params, m_max))
+        b0 = end
+    out = {k: jnp.concatenate([o[k] for o in outs])[:R] for k in outs[0]}
+    pre = {k: (v[:B, : len(t_pre)] if v.ndim == 2 else v[:B]) for k, v in out.items()}
+    suf = {k: (v[B:, : len(t_suf)] if v.ndim == 2 else v[B:]) for k, v in out.items()}
+    return pre, suf
 
 
 def align_batch_longread(signals, n_actual, template_np: np.ndarray,

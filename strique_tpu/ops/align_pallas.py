@@ -371,7 +371,8 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                  sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
                  S1_ref, S2_ref, Ih_ref, C_ref, BV_ref, R_ref,
                  ckpt_refs=None, ckpt_chunks: int = 0,
-                 init_refs=None, cold_ref=None, window_mode: bool = False):
+                 init_refs=None, cold_ref=None, window_mode: bool = False,
+                 mrow_ref=None):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -410,9 +411,14 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             BV_ref[:, :] = jnp.zeros((batch, mp), jnp.int32)
             R_ref[:, :] = jnp.full((batch, mp), NEG)
 
-    tmpl = tmpl_ref[:, :]
+    tmpl = tmpl_ref[:, :]  # (1, mp) shared, or (B, mp) per-read templates
     nact = nact_ref[:, :]
     sig_tile = sig_ref[:, :]
+    if mrow_ref is not None:
+        # per-read template length (flank-fused batches): the bottom-row
+        # tap becomes a masked reduce over a per-call-constant lane mask
+        mrow = mrow_ref[:, :]  # (B, 1) int32
+        msel = lane_ii == mrow
 
     def shift1(x, fill):
         return jnp.concatenate([jnp.full((batch, 1), fill, x.dtype), x[:, :-1]], axis=1)
@@ -470,6 +476,12 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             newIh = jnp.where(bmask, NEG, newIh)
         if window_mode:
             bval = newS[:, m_actual : m_actual + 1]
+        elif mrow_ref is not None:
+            # bottom row per read: cell (m_r, j) with j = t + 1 - m_r
+            j = t + 1 - mrow
+            live = (j >= 1) & (j <= nact)
+            brow = jnp.max(jnp.where(msel, newS, NEG), axis=1, keepdims=True)
+            bval = jnp.where(live, brow, NEG)
         else:
             # bottom row: cell (m, j) with j = t + 1 - m
             j = t + 1 - m_actual
@@ -501,10 +513,15 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         return body8
 
     # early exit: every pointer the traceback can visit satisfies
-    # t = i + j - 1 <= m_actual + j_end - 1 < m_actual + max(nact), and
-    # lane-m bottoms past that are dead — skip whole chunks beyond it.
-    # In window mode nact already counts needed local steps.
-    mx = jnp.max(nact) + (0 if window_mode else m_actual)
+    # t = i + j - 1 <= m + j_end - 1 < m + max(nact), and lane-m bottoms
+    # past that are dead — skip whole chunks beyond it.  In window mode
+    # nact already counts needed local steps.
+    if window_mode:
+        mx = jnp.max(nact)
+    elif mrow_ref is not None:
+        mx = jnp.max(nact + mrow)
+    else:
+        mx = jnp.max(nact) + m_actual
 
     def _sweep(force_boundary):
         carry0 = (S1_ref[:, :], S2_ref[:, :], Ih_ref[:, :], C_ref[:, :],
@@ -605,6 +622,74 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
     if with_ptr:
         return outs[0], outs[1]
     return None, outs[0]
+
+
+@partial(jax.jit, static_argnames=("params",))
+def align_forward_wave_multi(signals, n_actual, template_rows, m_rows,
+                             params: AlignParams):
+    """Wavefront forward DP with PER-ROW templates (flank fusion).
+
+    Like :func:`align_forward_wave`, but row r aligns against its own
+    template ``template_rows[r]`` of length ``m_rows[r]`` (lanes beyond
+    each row's template hold +1e30).  Lets one 64-wide call carry both
+    flanks of a partial batch — or any mix of targets/strands sharing a
+    signal bucket — instead of paying the kernel's flat latency twice.
+    bottom_steps[:, t] holds the bottom-row score of column
+    j = t + 1 - m_rows[r] per row.
+    """
+    B, N = signals.shape
+    assert B % 8 == 0 and N % CHUNK == 0
+    mp = template_rows.shape[1]
+    nd = N + mp
+    sig_ext = jnp.pad(signals, ((0, 0), (0, mp)))
+    grid = (nd // CHUNK,)
+    n_chunks_boundary = mp // CHUNK + 1
+    interpret = jax.default_backend() != "tpu"
+
+    def kern(sig_ref, tmpl_ref, nact_ref, mrow_ref, ptr_ref, bottom_ref, *scratch):
+        _wave_kernel(params, 0, n_chunks_boundary, True,
+                     sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch,
+                     mrow_ref=mrow_ref)
+
+    ptr, bottom = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK // 8, B, mp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nd // 8, B, mp), jnp.int32),
+            jax.ShapeDtypeStruct((B, nd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.float32),
+            pltpu.VMEM((B, mp), jnp.int32),
+            pltpu.VMEM((B, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sig_ext, template_rows, n_actual[:, None].astype(jnp.int32),
+      m_rows[:, None].astype(jnp.int32))
+    return ptr, bottom
+
+
+def pad_template_rows(templates) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row templates -> ((R, MP) lane layout with +inf pads, (R,) m)."""
+    ms = np.array([len(t) for t in templates], np.int32)
+    mp = _round_up(int(ms.max()) + 1, LANE)
+    out = np.full((len(templates), mp), 1e30, np.float32)
+    for r, t in enumerate(templates):
+        out[r, 1 : len(t) + 1] = np.asarray(t, np.float32)
+    return out, ms
 
 
 # ---------------------------------------------------------------------------

@@ -191,3 +191,31 @@ def test_align_longread_two_pass_matches(monkeypatch):
     for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
         np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(routed[k]),
                                       err_msg=f"routed {k}")
+
+
+def test_align_fused_pair_matches(monkeypatch):
+    """Flank fusion (per-row templates, one kernel stream for both
+    flanks) must be bit-identical to two separate wave calls — scores,
+    end columns, gap flags and positions, for unequal template lengths
+    and across the 64-row call boundary."""
+    from strique_tpu.ops.align import align_batch, align_fused_pair
+
+    rng = np.random.default_rng(17)
+    B, N = 8, 512
+    p = AlignParams()
+    t_pre = rng.uniform(60, 120, 40).astype(np.float32)
+    t_suf = rng.uniform(60, 120, 28).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(B):
+        st = 40 + i * 50
+        signals[i, st : st + 40] = t_pre + rng.normal(0, 0.5, 40)
+        signals[i, st + 60 : st + 88] = t_suf + rng.normal(0, 0.5, 28)
+    na = rng.integers(400, 500, B).astype(np.int32)
+    monkeypatch.setenv("STRIQUE_ALIGN_FUSE", "force")
+    pre, suf = align_fused_pair(signals, na, t_pre, t_suf, p)
+    ref_pre = align_batch(signals, na, t_pre, p, impl="pallas_wave")
+    ref_suf = align_batch(signals, na, t_suf, p, impl="pallas_wave")
+    for name, got, ref in (("pre", pre, ref_pre), ("suf", suf, ref_suf)):
+        for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+            np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
+                                          err_msg=f"{name} {k}")
