@@ -57,10 +57,13 @@ def _batch_cost(bucket: int, n: int) -> float:
     if _wave_active():
         from ..ops.align_pallas import BATCH_TPU_WAVE
 
-        # wave kernel: one fixed-width call per ceil(n/width) reads,
-        # cost ~ bucket per call regardless of how full the call is
-        calls = -(-n // BATCH_TPU_WAVE)
-        return bucket * float(calls) + FIXED_BATCH_COST
+        # wave kernel: fixed-width calls with flat per-call cost; both
+        # flanks fuse into one row stream when that reduces the call
+        # count (align_fused_pair), so a batch of n reads costs
+        # ceil(2n/W) calls of ~bucket time each (halved so the unit
+        # stays ~bucket-per-flank, comparable with FIXED_BATCH_COST)
+        calls = -(-2 * n // BATCH_TPU_WAVE)
+        return bucket * calls / 2.0 + FIXED_BATCH_COST
     full, rem = divmod(n, 32)
     factor = float(full)
     if rem:

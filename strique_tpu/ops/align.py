@@ -259,6 +259,17 @@ def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
     fuse_env = os.environ.get("STRIQUE_ALIGN_FUSE")
     use_fuse = ((jax.default_backend() == "tpu" and fuse_env != "0")
                 or fuse_env == "force")  # force: interpret-mode testing
+    if use_fuse and fuse_env != "force":
+        # fuse only when it reduces the kernel-call count: with call
+        # width W, ceil(2B/W) < 2*ceil(B/W) iff the per-flank tail is at
+        # most half a call.  Full batches gain nothing and would pay the
+        # per-row-template overhead (masked bottom taps, (B, MP)
+        # template reads), measured as ~5% on the uniform bench.
+        from .align_pallas import BATCH_TPU_WAVE as _W
+
+        tail = signals.shape[0] % _W
+        if tail == 0 or tail > _W // 2:
+            use_fuse = False
     if use_fuse:
         tmpl_rows_np, ms = pad_template_rows([t_pre, t_suf])
         mp = tmpl_rows_np.shape[1]
