@@ -418,6 +418,43 @@ class RepeatCounter:
     def _data_parallel_degree(self) -> int:
         return int(self.mesh.shape["data"]) if self.mesh is not None else 1
 
+    def _ultra_long(self, tc: TargetClassifier, npad: int) -> bool:
+        """True when this bucket's one-pass pointer plane exceeds the HBM
+        budget — alignment must run the host-orchestrated checkpointed
+        two-pass, which dispatches its own jits and therefore cannot live
+        inside the jitted bounds pipeline."""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.align_pallas import _round_up, ptr_budget_bytes
+
+        mp = _round_up(max(len(tc.prefix_ext), len(tc.suffix_ext)) + 1, 128)
+        nd = _round_up(npad, 128) + mp
+        return nd * 8 * mp // 2 > ptr_budget_bytes()
+
+    def _bounds_eager(self, tc: TargetClassifier, buf, n_sigs_p):
+        """Eager twin of :meth:`_bounds_pipeline` for ultra-long buckets:
+        same math, but align runs through the two-pass long-read route
+        (bit-identical results; see ops.align.align_batch_longread)."""
+        import jax.numpy as jnp
+
+        from ..ops.bounds import segment_bounds
+        from .packed import pack_meta
+
+        params = self.align_params
+        t_pre = np.asarray(tc.prefix_ext, np.float32)
+        t_suf = np.asarray(tc.suffix_ext, np.float32)
+        morph = _unpack_morph_upload(jnp.asarray(buf))
+        n_dev = jnp.asarray(n_sigs_p)
+        pre, suf = align_ops.align_fused_pair(morph, n_dev, t_pre, t_suf, params)
+        b = segment_bounds(
+            {k: pre[k] for k in ("score", "is_gap", "jpos")},
+            {k: suf[k] for k in ("score", "is_gap", "jpos")},
+            n_dev, trim_prefix=len(tc.prefix_ext) - len(tc.prefix),
+            trim_suffix=len(tc.suffix_ext) - len(tc.suffix))
+        return pack_meta(b)
+
     # -- detection ---------------------------------------------------------
     def detect(self, target_name: str, raw_signal: np.ndarray, strand: str):
         """Count repeats in one read (reference ``repeatCounter.detect`` :581-616).
@@ -476,7 +513,10 @@ class RepeatCounter:
                 f"(> {MAX_FUSED_STATES}); using the two-phase host-bounds path.",
                 LogLevel.Info)
         have_native = native_lib.available()
-        if self.split and fusible:
+        if fusible and (self.split or self._ultra_long(tc, npad)):
+            # ultra-long buckets always take the split path: its bounds
+            # phase can run eagerly so the two-pass long-read alignment
+            # (host-orchestrated) slots in where the jitted pipeline can't
             return self._split_submit(tc, raws, n_sigs, n_sigs_p, npad, Bp,
                                       have_native)
         morphs = None
@@ -616,8 +656,11 @@ class RepeatCounter:
                 flt_n = self.pm.normalize2model(flt, mode="minmax")
                 flts[i] = flt_n
                 flt32s[i] = flt_n.astype(np.float32)
-        fn = self._bounds_pipeline(tc)
-        bounds_dev = fn(jnp.asarray(buf), jnp.asarray(n_sigs_p))
+        if self._ultra_long(tc, npad):
+            bounds_dev = self._bounds_eager(tc, buf, n_sigs_p)
+        else:
+            fn = self._bounds_pipeline(tc)
+            bounds_dev = fn(jnp.asarray(buf), jnp.asarray(n_sigs_p))
         try:
             bounds_dev.copy_to_host_async()
         except Exception:

@@ -454,3 +454,23 @@ def test_stream_finish_failure_retries_per_read(synthetic_run, monkeypatch):
         sched.add(i, "c9", "+", sig)
     sched.close()
     assert all(res[i] is not None and res[i][0] == 8 + i for i in range(4)), res
+
+
+def test_warmup_cli(capsys):
+    """`strique warmup` must pre-compile one full-path batch per
+    target x strand x bucket and report cold vs hot cost per shape (the
+    compile-cost answer the reference never needed — its engines have
+    no compile step)."""
+    from strique_tpu.cli import main
+
+    rc = main(["warmup", "/root/reference/models/r9_4_450bps.model",
+               "/root/reference/configs/repeat_config.tsv",
+               "--config", "/root/reference/configs/STRique.json",
+               "--min_len", "4096", "--max_len", "4096", "--batch", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines() if "\tbucket=" in l]
+    # 2 targets (c9orf72, fmr1) x 2 strands x 1 bucket
+    assert len(rows) == 4, out
+    assert all("cold=" in r and "hot=" in r for r in rows)
+    assert "# warmed 4" in out

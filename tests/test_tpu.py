@@ -248,8 +248,8 @@ def test_ultralong_two_pass_count_exact(c9_assets, monkeypatch):
     rng = np.random.default_rng(3)
     n_rep = 100
     # locus embedded in a backbone long enough for a ~4M-sample signal
-    bb = "".join(rng.choice(list("ACTG"), 440_000))
-    seq = bb[:220_000] + prefix + repeat * n_rep + suffix + bb[220_000:]
+    bb = "".join(rng.choice(list("ACTG"), 540_000))
+    seq = bb[:270_000] + prefix + repeat * n_rep + suffix + bb[270_000:]
     sig = pm.generate_signal(seq, samples=9, noise=True, rng=rng)
     assert len(sig) >= 3_900_000, len(sig)
     out = counter.detect("c9", sig, "+")
