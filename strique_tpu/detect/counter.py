@@ -436,7 +436,9 @@ class RepeatCounter:
     def _bounds_eager(self, tc: TargetClassifier, buf, n_sigs_p):
         """Eager twin of :meth:`_bounds_pipeline` for ultra-long buckets:
         same math, but align runs through the two-pass long-read route
-        (bit-identical results; see ops.align.align_batch_longread)."""
+        (bit-identical results; see ops.align.align_batch_longread).
+        Runs single-device — a mesh gains little here (8-read groups
+        bound pass-1 memory and dominate wall time per chip anyway)."""
         import jax.numpy as jnp
 
         from ..ops.bounds import segment_bounds
