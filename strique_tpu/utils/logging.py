@@ -22,13 +22,16 @@ class LogLevel(enum.Enum):
 
 
 _ORDER = [LogLevel.Error, LogLevel.Warning, LogLevel.Info, LogLevel.Debug]
-_state = {"levels": set(_ORDER[:3]), "sinks": [sys.stderr], "lock": threading.Lock()}
+# sink None = "the CURRENT sys.stderr", resolved at write time — capturing
+# the stream object at init time would pin a redirected/captured stderr
+# that may be closed later (e.g. per-test capture buffers)
+_state = {"levels": set(_ORDER[:3]), "sinks": [None], "lock": threading.Lock()}
 
 
 def init(file: str | None = None, log_level: str = "info") -> None:
     n = {"error": 1, "warning": 2, "info": 3, "debug": 4}.get(log_level, 3)
     _state["levels"] = set(_ORDER[:n])
-    _state["sinks"] = [sys.stderr]
+    _state["sinks"] = [None]
     if file:
         parent = os.path.abspath(os.path.dirname(file)) or "."
         if (os.path.isfile(file) and os.access(file, os.W_OK)) or os.access(parent, os.W_OK):
@@ -38,7 +41,7 @@ def init(file: str | None = None, log_level: str = "info") -> None:
 
 
 def close() -> None:
-    pass
+    _state["sinks"] = [None]
 
 
 def log(message: str, level: LogLevel = LogLevel.Info) -> None:
@@ -49,9 +52,13 @@ def log(message: str, level: LogLevel = LogLevel.Info) -> None:
         f"[PID {os.getpid()}]", str(level.value), message])
     with _state["lock"]:
         for sink in _state["sinks"]:
-            if isinstance(sink, str):
-                with open(sink, "a") as fp:
-                    print(line, file=fp)
-            else:
-                print(line, file=sink)
-                sink.flush()
+            try:
+                if isinstance(sink, str):
+                    with open(sink, "a") as fp:
+                        print(line, file=fp)
+                else:
+                    stream = sys.stderr if sink is None else sink
+                    print(line, file=stream)
+                    stream.flush()
+            except (ValueError, OSError):
+                pass  # a redirected sink closed under us; logging must not raise
