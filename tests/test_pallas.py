@@ -219,3 +219,27 @@ def test_align_fused_pair_matches(monkeypatch):
         for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
             np.testing.assert_array_equal(np.asarray(ref[k]), np.asarray(got[k]),
                                           err_msg=f"{name} {k}")
+
+
+def test_align_longread_degenerate_reads():
+    """Two-pass edge cases: reads with no template match (j_end may be
+    0/virtual-column), a read shorter than the template, and a read
+    whose alignment sits at the very end of the signal — all must agree
+    bitwise with the one-pass kernel (cold restarts, window clamping)."""
+    from strique_tpu.ops.align import align_batch, align_batch_longread
+
+    rng = np.random.default_rng(23)
+    B, N, M = 8, 2048, 40
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = np.full((B, N), 200.0, np.float32)  # far from the template
+    na = np.full(B, N - 10, np.int32)
+    signals[1] = rng.uniform(60, 120, N)
+    na[2] = 8  # shorter than the template
+    signals[3, N - 60 : N - 20] = template  # match at the signal's end
+    na[3] = N - 10
+    one = align_batch(signals, na, template, p, impl="pallas_wave")
+    two = align_batch_longread(signals, na, template, p, ckpt_steps=256)
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(two[k]),
+                                      err_msg=k)
