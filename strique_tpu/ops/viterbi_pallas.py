@@ -608,6 +608,17 @@ def viterbi_pallas_batch(obs_batch, t_actual_batch, ph: PaddedHMM):
     t_actual_batch = t_actual_batch.astype(jnp.int32)
     B = obs_batch.shape[0]
     if ph.fspec is not None:
+        # the lane-parallel backward's scratch scales with the batch
+        # width: past 64 reads it exceeds the 16 MB scoped-VMEM limit
+        # (measured: 128 needs 16.06 MB), so wider batches run as
+        # 64-read groups through the same kernels
+        MAX_W = 64
+        if B > MAX_W:
+            outs = [viterbi_pallas_batch(obs_batch[g : g + MAX_W],
+                                         t_actual_batch[g : g + MAX_W], ph)
+                    for g in range(0, B, MAX_W)]
+            return (jnp.concatenate([o[0] for o in outs]),
+                    jnp.concatenate([o[1] for o in outs]))
         bpad = (-B) % 8
         if bpad:
             obs_batch = jnp.pad(obs_batch, ((0, bpad), (0, 0)))
