@@ -243,3 +243,22 @@ def test_align_longread_degenerate_reads():
     for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
         np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(two[k]),
                                       err_msg=k)
+
+
+def test_longread_requires_bounded_horizontal_gaps():
+    """Free/positive horizontal gap costs admit unbounded spans — no
+    exact window exists, so the two-pass must refuse loudly instead of
+    silently truncating (align_core falls back to the one-pass plane
+    for such configs)."""
+    import pytest as _pytest
+
+    from strique_tpu.ops.align import align_batch_longread
+    from strique_tpu.ops.align_pallas import wave_span_bound_steps
+
+    p = AlignParams(gap_open_h=1.0, gap_extension_h=0.5)
+    assert wave_span_bound_steps(p, 40) is None
+    sig = np.zeros((8, 256), np.float32)
+    na = np.full(8, 250, np.int32)
+    tmpl = np.zeros(16, np.float32)
+    with _pytest.raises(ValueError, match="negative horizontal gap"):
+        align_batch_longread(sig, na, tmpl, p)
