@@ -341,7 +341,12 @@ def align_batch_longread(signals, n_actual, template_np: np.ndarray,
         raise ValueError(
             "two-pass alignment needs negative horizontal gap costs "
             "(no span bound exists otherwise); use the one-pass kernel")
-    ckpt_chunks = max(ckpt_steps // CHUNK, 1)
+    # every warm restart t0 (a checkpoint boundary) must lie past the
+    # column-0 boundary region: pass 2 only forces boundary state for
+    # cold (t0 == 0) reads, so a warm t0 < mp could miss a column-0
+    # entry tie at the span-bound edge.  Clamp ckpt_steps >= mp so the
+    # first checkpoint boundary is already beyond the boundary region.
+    ckpt_chunks = max(ckpt_steps // CHUNK, -(-mp // CHUNK), 1)
     ckpt_steps = ckpt_chunks * CHUNK
     # pad N so ND divides the checkpoint stride
     nd = ((N + mp + ckpt_steps - 1) // ckpt_steps) * ckpt_steps

@@ -111,9 +111,19 @@ def ptr_budget_bytes() -> int:
 # column kernel's 32 and collapsing the compile set to one width.
 BATCH_TPU_WAVE = max(8, -(-int(_env_number("STRIQUE_ALIGN_BATCH_WAVE", 64)) // 8) * 8)
 
-# steps per fori-loop iteration in the wave kernel (multiple of 8, the
-# pointer-word nibble capacity; divides CHUNK)
-WAVE_UNROLL = max(8, min(CHUNK, int(_env_number("STRIQUE_WAVE_UNROLL", 8)) // 8 * 8))
+# steps per fori-loop iteration in the wave kernel: must divide CHUNK
+# exactly (the sweep runs fori_loop(0, CHUNK // unroll), which floors) —
+# a non-divisor would silently skip the last CHUNK % unroll DP steps of
+# every chunk.  Snap the env value to the largest power-of-two divisor
+# of CHUNK that is <= the request (8/16/32/64/.../CHUNK).
+def _snap_unroll(v: float) -> int:
+    u = 8
+    while u * 2 <= min(int(v), CHUNK) and CHUNK % (u * 2) == 0:
+        u *= 2
+    return u
+
+
+WAVE_UNROLL = _snap_unroll(_env_number("STRIQUE_WAVE_UNROLL", 8))
 
 
 def kernel_batch(b: int | None = None, n_cols: int | None = None,

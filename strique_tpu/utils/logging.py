@@ -52,13 +52,22 @@ def log(message: str, level: LogLevel = LogLevel.Info) -> None:
         f"[PID {os.getpid()}]", str(level.value), message])
     with _state["lock"]:
         for sink in _state["sinks"]:
-            try:
-                if isinstance(sink, str):
+            if isinstance(sink, str):
+                try:
                     with open(sink, "a") as fp:
                         print(line, file=fp)
-                else:
-                    stream = sys.stderr if sink is None else sink
+                except OSError:
+                    # unwritable/full log file: fall back to stderr so the
+                    # message is not silently dropped (the swallow-all case
+                    # only concerns redirected stream sinks closing under us)
+                    try:
+                        print(line, file=sys.stderr)
+                    except (ValueError, OSError):
+                        pass
+            else:
+                stream = sys.stderr if sink is None else sink
+                try:
                     print(line, file=stream)
                     stream.flush()
-            except (ValueError, OSError):
-                pass  # a redirected sink closed under us; logging must not raise
+                except (ValueError, OSError):
+                    pass  # a redirected sink closed under us; logging must not raise

@@ -262,3 +262,45 @@ def test_longread_requires_bounded_horizontal_gaps():
     tmpl = np.zeros(16, np.float32)
     with _pytest.raises(ValueError, match="negative horizontal gap"):
         align_batch_longread(sig, na, tmpl, p)
+
+
+def test_longread_ckpt_steps_below_template_width():
+    """ckpt_steps smaller than the template pad width must be clamped
+    up: a warm restart at t0 < mp skips pass-2 column-0 boundary forcing
+    (advisor round-4 medium).  The span-bound algebra keeps optimal
+    paths away from column 0 in warm windows, but a tie at the bound
+    edge could flip pointers — the clamp removes the case outright.
+    Template M=200 -> mp=256; ckpt_steps=128 pre-clamp admits
+    t0=128 < 256 (steep horizontal gaps shrink the span bound so warm
+    restarts engage at this test scale); outputs must stay bit-equal to
+    the one-pass kernel."""
+    from strique_tpu.ops.align import align_batch, align_batch_longread
+
+    rng = np.random.default_rng(29)
+    B, N, M = 8, 2048, 200
+    p = AlignParams(gap_open_h=-20.0, gap_extension_h=-20.0)
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(B):
+        st = 450 + 20 * i  # alignments end near t ~ 850-1050
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = np.full(B, N - 10, np.int32)
+    one = align_batch(signals, na, template, p, impl="pallas_wave")
+    two = align_batch_longread(signals, na, template, p, ckpt_steps=128)
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(two[k]),
+                                      err_msg=k)
+
+
+def test_wave_unroll_snaps_to_chunk_divisor():
+    """WAVE_UNROLL values that do not divide CHUNK (24, 48, 96...) would
+    silently skip the last CHUNK % unroll DP steps of every chunk
+    (advisor round-4 medium); the env value must snap to a power-of-two
+    divisor of CHUNK."""
+    from strique_tpu.ops.align_pallas import CHUNK, _snap_unroll
+
+    for req, want in ((5, 8), (8, 8), (16, 16), (24, 16), (48, 32),
+                      (96, 64), (128, 128), (1000, 128)):
+        got = _snap_unroll(req)
+        assert got == want, (req, got)
+        assert CHUNK % got == 0

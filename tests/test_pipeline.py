@@ -182,6 +182,21 @@ def test_logger_levels(capsys, tmp_path):
     assert "[WARNING]" in text
 
 
+def test_logger_file_sink_failure_falls_back_to_stderr(capsys, tmp_path):
+    """An unwritable log file must not silently drop messages: the line
+    falls back to stderr (advisor round-4 low — the swallow-all except
+    only concerns redirected stream sinks closing under us)."""
+    from strique_tpu.utils import logging as ulog
+
+    logf = tmp_path / "dir" / "log.txt"
+    ulog.init(file=None, log_level="info")
+    # inject a file sink whose parent does not exist -> open() OSErrors
+    ulog._state["sinks"] = [str(logf)]
+    ulog.log("must-not-vanish", ulog.LogLevel.Error)
+    ulog.close()
+    assert "must-not-vanish" in capsys.readouterr().err
+
+
 def test_count_cli_resume(synthetic_run, tmp_path):
     """--resume appends and skips already-counted reads."""
     d, fofn, repeat_tsv, sam, counts = synthetic_run
