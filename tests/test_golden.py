@@ -107,3 +107,72 @@ def test_golden_count_pipeline_compat(golden_dir):
     assert offset == GOLDEN["offset"] and ticks == GOLDEN["ticks"]
     assert count == 734  # PARITY.md: compat mode golden count
     assert abs(logp - (-119864.6)) < 5.0
+
+
+# the reference's CI runs the golden count WITH --mod_model
+# (reference .travis.yml:102); the mod column on the bundled native-DNA
+# read is a deterministic per-repeat-unit 0/1 string.  Pinned from this
+# repo's kernels (bit-stable across CPU/TPU tiers): 734 units, 70 called
+# methylated (~9.5% — the GGCCCC unit junction carries one CpG).
+GOLDEN_MOD_LEN = 734
+GOLDEN_MOD_ONES = 70
+
+
+def _assert_golden_mod_column(mod: str):
+    assert mod != "-"
+    assert set(mod) <= {"0", "1"}
+    assert len(mod) == GOLDEN_MOD_LEN
+    assert mod.count("1") == GOLDEN_MOD_ONES
+
+
+def test_golden_count_pipeline_mod(golden_dir):
+    """The reference CI's exact command shape — golden count with
+    --mod_model (reference .travis.yml:99-102) — pinning the full row
+    INCLUDING the mod column in default count semantics."""
+    from strique_tpu.cli import main
+
+    fofn = golden_dir / "reads.fofn"
+    if not fofn.exists():
+        pytest.skip("default golden test must run first (module fixture order)")
+    out = golden_dir / "counts_mod.tsv"
+    rc = main(["count", str(fofn), MODEL, REPEAT_TSV,
+               "--algn", os.path.join(DATA, "c9orf72.sam"),
+               "--config", PARAMS_JSON,
+               "--mod_model", "/root/reference/models/r9_4_450bps_mCpG.model",
+               "--out", str(out), "--devices", "1"])
+    assert rc == 0
+    cols = out.read_text().strip().split("\n")[1].split("\t")
+    assert cols[0] == GOLDEN["ID"]
+    assert int(cols[3]) == 733  # PARITY.md default-mode count, unchanged by mod
+    assert int(cols[7]) == GOLDEN["offset"] and int(cols[8]) == GOLDEN["ticks"]
+    _assert_golden_mod_column(cols[9])
+
+
+def test_golden_count_pipeline_mod_compat(golden_dir):
+    """--mod_model under pomegranate_compat semantics: count 734 and the
+    identical mod column (compat only shifts the d1/d2 dummy-visit
+    accounting, not the mod unit segmentation on this read)."""
+    import json
+
+    from strique_tpu.cli import main
+
+    fofn = golden_dir / "reads.fofn"
+    if not fofn.exists():
+        pytest.skip("default golden test must run first (module fixture order)")
+    with open(PARAMS_JSON) as fp:
+        cfg = json.load(fp)
+    cfg["HMM"]["pomegranate_compat"] = True
+    compat_json = golden_dir / "compat_mod.json"
+    compat_json.write_text(json.dumps(cfg))
+    out = golden_dir / "counts_mod_compat.tsv"
+    rc = main(["count", str(fofn), MODEL, REPEAT_TSV,
+               "--algn", os.path.join(DATA, "c9orf72.sam"),
+               "--config", str(compat_json),
+               "--mod_model", "/root/reference/models/r9_4_450bps_mCpG.model",
+               "--out", str(out), "--devices", "1"])
+    assert rc == 0
+    cols = out.read_text().strip().split("\n")[1].split("\t")
+    assert int(cols[3]) == 734  # compat-mode golden count
+    assert int(cols[7]) == GOLDEN["offset"] and int(cols[8]) == GOLDEN["ticks"]
+    assert abs(float(cols[6]) - (-119864.6)) < 5.0
+    _assert_golden_mod_column(cols[9])

@@ -289,3 +289,35 @@ def test_golden_cli_on_chip(tmp_path):
     assert int(row[7]) == 1633         # offset: exact vs reference
     assert int(row[8]) == 40758        # ticks: exact vs reference
     assert abs(float(row[4]) - 6.3156) < 0.1
+
+
+def test_golden_cli_mod_on_chip(tmp_path):
+    """The reference CI's exact command — golden count WITH --mod_model
+    (reference .travis.yml:99-102) — on the real chip, pinning the full
+    row including the mod column (734 units, 70 methylated; see
+    tests/test_golden.py for the CPU-tier pin in both semantics)."""
+    import subprocess
+    import sys
+
+    idx = tmp_path / "reads.fofn"
+    env = dict(__import__("os").environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/strique_tpu_cache")
+    r = subprocess.run(
+        [sys.executable, "-m", "strique_tpu.cli", "index", "/root/reference/data",
+         "--out_prefix", "/root/reference/data"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    idx.write_text(r.stdout)
+    r = subprocess.run(
+        [sys.executable, "-m", "strique_tpu.cli", "count", str(idx), MODEL,
+         "/root/reference/configs/repeat_config.tsv",
+         "--algn", "/root/reference/data/c9orf72.sam",
+         "--config", "/root/reference/configs/STRique.json",
+         "--mod_model", "/root/reference/models/r9_4_450bps_mCpG.model"],
+        capture_output=True, text=True, env=env, timeout=1800)
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = [l.split("\t") for l in r.stdout.strip().split("\n")[1:]]
+    row = next(x for x in rows if x[0].startswith("ce47b364"))
+    assert int(row[3]) == 733 and int(row[7]) == 1633 and int(row[8]) == 40758
+    mod = row[9]
+    assert set(mod) <= {"0", "1"} and len(mod) == 734 and mod.count("1") == 70
