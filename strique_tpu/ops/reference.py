@@ -57,13 +57,18 @@ def _pick_best(m: np.ndarray, h: np.ndarray, v: np.ndarray):
     return best, which
 
 
-def semiglobal_align_np(a, b, params: AlignParams = AlignParams(), dtype=np.float64):
+def semiglobal_align_np(a, b, params: AlignParams = AlignParams(), dtype=np.float64,
+                        full: bool = False):
     """Align template ``b`` (len M) into signal ``a`` (len N), free end gaps on ``a``.
 
     Returns ``(score, a_idx, b_idx)`` — the alignment score and the view
     positions of every element of ``a`` and ``b`` in the gapped alignment,
     exactly like the reference binding ``pyseqan.align_overlap``
     (reference src/pyalign.cpp:47-63, src/align_raw.h:139-147).
+    With ``full=True`` also returns ``(j_begin, j_end)`` — the DP's own
+    aligned-span columns (view positions cannot recover them when the
+    optimal path starts/ends with horizontal gaps, e.g. under positive
+    gap scores).
     """
     a = np.asarray(a, dtype=dtype)
     b = np.asarray(b, dtype=dtype)
@@ -183,6 +188,8 @@ def semiglobal_align_np(a, b, params: AlignParams = AlignParams(), dtype=np.floa
         a_idx[ai] = col
         ai += 1
         col += 1
+    if full:
+        return float(score), a_idx, b_idx, j_begin, j_end
     return float(score), a_idx, b_idx
 
 
