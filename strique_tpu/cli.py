@@ -122,6 +122,9 @@ def cmd_count(argv) -> int:
                         mod_model_file=args.mod_model, align_config=config["align"],
                         hmm_config=config["HMM"], mesh=mesh)
     done = processed_ids(out_path) if args.resume else set()
+    if args.resume and world > 1:
+        # a prior run may have merged its shards already
+        done |= processed_ids(args.out)
     ow = OutputWriter(out_path, append=args.resume)
     if done:
         log(f"Main: Resuming; {len(done)} reads already counted.", LogLevel.Info)
@@ -146,6 +149,26 @@ def cmd_count(argv) -> int:
     n = run_pipeline(sam_lines(), rd, ow, io_threads=args.t, batch_size=batch_size)
     if args.profile:
         jax.profiler.stop_trace()
+    if world > 1 and args.out:
+        # all hosts barrier, then rank 0 concatenates the .partN shards
+        # into --out — the reference's single-collector-stream semantics
+        # (scripts/STRique.py:778-802: one file, unordered rows).  On
+        # clusters without a shared filesystem the unreachable parts
+        # stay put and a warning names them.
+        from jax.experimental import multihost_utils
+
+        from .detect.writer import merge_shards
+
+        multihost_utils.sync_global_devices("strique_count_shards_done")
+        if rank == 0:
+            merged = merge_shards(args.out, world)
+            if merged < world:
+                log(f"Main: merged {merged}/{world} shards into {args.out}; "
+                    "remaining hosts' .partN files are not on this "
+                    "filesystem — concatenate them manually.", LogLevel.Warning)
+            else:
+                log(f"Main: merged {world} shards into {args.out}.", LogLevel.Info)
+        multihost_utils.sync_global_devices("strique_count_merge_done")
     log(f"Main: Processed {n} alignments.", LogLevel.Info)
     ulog.close()
     return 0

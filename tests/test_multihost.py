@@ -71,7 +71,7 @@ def test_multihost_cli_count(tmp_path):
             [sys.executable, "-m", "strique_tpu.cli", "count", str(fofn), MODEL,
              str(repeat_tsv), "--algn", str(sam), "--out", str(out),
              "--coordinator", f"localhost:{port}", "--num_hosts", "2",
-             "--host_id", str(i), "--batch", "4"],
+             "--host_id", str(i), "--batch", "4", "--log_level", "info"],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for i in range(2)
@@ -80,19 +80,19 @@ def test_multihost_cli_count(tmp_path):
     for p, (so, se) in zip(procs, logs):
         assert p.returncode == 0, se.decode()[-2000:]
 
-    shard_rows = []
-    for i in range(2):
-        part = tmp_path / f"out.tsv.part{i}"
-        assert part.exists(), f"missing shard {i}"
-        lines = part.read_text().strip().split("\n")
-        assert lines[0].startswith("ID\t")
-        shard_rows += [l.split("\t") for l in lines[1:]]
-    # each read counted exactly once across the shards, count exact, and
-    # the stride actually split the work between the processes
-    assert sorted(r[0] for r in shard_rows) == sorted(counts)
-    assert all(len(r) >= 2 for r in shard_rows)
-    per_shard = [len((tmp_path / f"out.tsv.part{i}").read_text().strip().split("\n")) - 1
-                 for i in range(2)]
-    assert all(n == 2 for n in per_shard), per_shard
-    for r in shard_rows:
+    # rank 0 merges the .partN shards into --out after the barrier: the
+    # user gets ONE file (the reference's single-collector contract,
+    # scripts/STRique.py:778-802), parts cleaned up
+    assert out.exists(), "merged output missing"
+    assert not (tmp_path / "out.tsv.part0").exists()
+    assert not (tmp_path / "out.tsv.part1").exists()
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("ID\t")
+    rows = [l.split("\t") for l in lines[1:]]
+    # each read counted exactly once, exact counts
+    assert sorted(r[0] for r in rows) == sorted(counts)
+    for r in rows:
         assert int(r[3]) == counts[r[0]], f"{r[0]}: {r[3]} != {counts[r[0]]}"
+    # the SAM stride actually split the work 2/2 between the processes
+    for _, se in logs:
+        assert "Processed 2 alignments" in se.decode()
