@@ -71,6 +71,8 @@ def main():
     max_len = max(len(s) for s in sigs)
     sigs = [np.pad(s, (0, max_len - len(s)), mode="edge") for s in sigs]
 
+    from strique_tpu.ops.align import kernel_stats, reset_kernel_stats
+
     counter.detect_many("c9orf72", sigs[:n_warm], "+")
     counter.detect_many("c9orf72", sigs[:n_warm], "+")
 
@@ -96,12 +98,19 @@ def main():
     # regression in a compute benchmark.  Both passes are reported
     # (value = best, plus mean and spread) so cross-round comparisons
     # can tell link noise from real regressions.
+    n_timed = int(os.environ.get("BENCH_PASSES", "3"))
     correct = uniform_pass()
     dts = []
-    for _ in range(2):
+    reset_kernel_stats()
+    for _ in range(n_timed):
         t0 = time.perf_counter()
         correct = uniform_pass()
         dts.append(time.perf_counter() - t0)
+    # issued DP cells per wall second (BASELINE.md north-star metric:
+    # cell-updates/s separates kernel regressions from link noise).
+    # Cells are identical across passes; rate uses the best pass.
+    ustats = kernel_stats()
+    cells_per_pass = ustats["cells"] // len(dts)
     dt = min(dts)
     rps = n_reads / dt
     rps_mean = n_reads / (sum(dts) / len(dts))
@@ -179,19 +188,48 @@ def main():
 
     mod_pass()  # warm/compile the mod pipelines
     dts_mod = []
-    for _ in range(2):
+    for _ in range(n_timed):
         t0 = time.perf_counter()
         mod_ok, mod_sep = mod_pass()
         dts_mod.append(time.perf_counter() - t0)
     mod_rps = n_mod / min(dts_mod)
 
     ragged_pass()  # compile the bucket set + warm
+
+    # per-stage host-blocking wall split for the ragged stream: submit =
+    # native prep + upload + align dispatch (async thread), middle =
+    # bounds D2H + Viterbi dispatch, finish = path D2H + decode.  The
+    # stages overlap (4-deep pipeline), so they need not sum to the wall;
+    # the split tells a kernel regression from link noise in-artifact.
+    stage_ms = {"submit": 0.0, "middle": 0.0, "mod": 0.0, "finish": 0.0}
+
+    def _wrap_stage(name, fn):
+        def wrapped(*a, **k):
+            t0 = time.perf_counter()
+            out = fn(*a, **k)
+            stage_ms[name] += (time.perf_counter() - t0) * 1e3
+            return out
+        return wrapped
+
+    counter.detect_submit = _wrap_stage("submit", counter.detect_submit)
+    counter.detect_middle = _wrap_stage("middle", counter.detect_middle)
+    counter.detect_mod_submit = _wrap_stage("mod", counter.detect_mod_submit)
+    counter.detect_finish = _wrap_stage("finish", counter.detect_finish)
+
     dts_ragged = []
-    for _ in range(2):
+    stage_runs = []
+    ragged_cells = 0
+    for _ in range(n_timed):
+        for k in stage_ms:
+            stage_ms[k] = 0.0
+        reset_kernel_stats()
         t0 = time.perf_counter()
         ragged_ok = ragged_pass()
         dts_ragged.append(time.perf_counter() - t0)
+        stage_runs.append(dict(stage_ms))
+        ragged_cells = kernel_stats()["cells"]
     dt_ragged = min(dts_ragged)
+    ragged_stage_ms = stage_runs[dts_ragged.index(dt_ragged)]
     ragged_rps = n_ragged / dt_ragged
     ragged_rps_mean = n_ragged / (sum(dts_ragged) / len(dts_ragged))
 
@@ -208,11 +246,17 @@ def main():
         "baseline_reads_per_sec": BASELINE_READS_PER_SEC,
         # value/ragged are best-of-2 (link noise suppression); the means
         # and pass-to-pass spreads keep cross-round comparisons honest
-        "timing": "best_of_2",
+        "timing": f"best_of_{n_timed}",
         "mean_reads_per_sec": round(rps_mean, 3),
         "ragged_mean_reads_per_sec": round(ragged_rps_mean, 3),
         "spread_pct": spread_pct(dts),
         "ragged_spread_pct": spread_pct(dts_ragged),
+        # DP cell-updates/s (issued cells / wall of the best pass) — the
+        # BASELINE.md:19 north-star kernel metric
+        "align_cell_updates_per_sec": round(cells_per_pass / dt, 0),
+        "ragged_cell_updates_per_sec": round(ragged_cells / dt_ragged, 0),
+        # ragged host-blocking wall per pipeline stage (stages overlap)
+        "ragged_stage_ms": {k: round(v, 1) for k, v in ragged_stage_ms.items()},
     }
     print(json.dumps(result))
     print(f"# {n_reads} reads in {dt:.2f}s; count accuracy {correct}/{n_reads}; "

@@ -547,6 +547,8 @@ class RepeatCounter:
             n_dev = jnp.asarray(n_sigs_p)
 
             def _dispatch():
+                align_ops.count_issued_cells_estimate(
+                    Bp, npad, len(tc.prefix_ext), len(tc.suffix_ext))
                 packed = pipeline(jnp.asarray(buf), n_dev)
                 try:
                     packed.copy_to_host_async()
@@ -591,6 +593,8 @@ class RepeatCounter:
                 for i, f in enumerate(flts):
                     both[Bp + i, : len(f)] = f
                 both_dev = jnp.asarray(both)
+                align_ops.count_issued_cells_estimate(
+                    Bp, npad, len(tc.prefix_ext), len(tc.suffix_ext))
                 packed_dev = self._pipeline(tc, use_buf=False)(
                     both_dev[:Bp], both_dev[Bp:], jnp.asarray(n_sigs_p))
                 state = {"fused": packed_dev}
@@ -659,9 +663,12 @@ class RepeatCounter:
                 flts[i] = flt_n
                 flt32s[i] = flt_n.astype(np.float32)
         if self._ultra_long(tc, npad):
+            # two-pass align dispatches eagerly and self-counts its cells
             bounds_dev = self._bounds_eager(tc, buf, n_sigs_p)
         else:
             fn = self._bounds_pipeline(tc)
+            align_ops.count_issued_cells_estimate(
+                Bp, npad, len(tc.prefix_ext), len(tc.suffix_ext))
             bounds_dev = fn(jnp.asarray(buf), jnp.asarray(n_sigs_p))
         try:
             bounds_dev.copy_to_host_async()

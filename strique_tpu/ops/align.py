@@ -32,6 +32,60 @@ from .reference import AlignParams, MAT_M, MAT_H, MAT_V
 # backend at import time, breaking jax.distributed.initialize() ordering
 NEG = np.float32(-1e30)
 
+# DP-cell accounting (BASELINE.md north star: DP cell-updates/s).  Each
+# kernel dispatch site adds its issued cell count (rows x diagonal steps
+# x template lanes); bench.py snapshots around timed passes to report
+# align_cell_updates_per_sec.  Host-side Python ints — no device cost.
+KERNEL_STATS = {"cells": 0, "calls": 0}
+
+
+def _count_cells(rows: int, steps: int, lanes: int) -> None:
+    KERNEL_STATS["cells"] += int(rows) * int(steps) * int(lanes)
+    KERNEL_STATS["calls"] += 1
+
+
+def reset_kernel_stats() -> None:
+    KERNEL_STATS["cells"] = 0
+    KERNEL_STATS["calls"] = 0
+
+
+def kernel_stats() -> dict:
+    return dict(KERNEL_STATS)
+
+
+def count_issued_cells_estimate(B: int, npad: int, m_pre: int, m_suf: int) -> None:
+    """Account the DP cells a jitted flank-alignment dispatch will issue.
+
+    The jitted pipelines (counter._bounds_pipeline/_pipeline) trace the
+    align dispatch loop once, so the per-call-site counters above never
+    fire at run time; this mirrors align_fused_pair's dispatch decisions
+    (fusion rule, wave call width, diagonal step count) analytically at
+    the host call site.  Standard (non-ultra-long) path only — the
+    two-pass route dispatches eagerly and self-counts.
+    """
+    import jax
+
+    from .align_pallas import BATCH_TPU_WAVE as W
+    from .align_pallas import CHUNK, _round_up
+
+    if jax.default_backend() != "tpu":
+        for m in (m_pre, m_suf):
+            _count_cells(B, npad, m + 1)
+        return
+    nc = _round_up(npad, CHUNK)
+    tail = B % W
+    if 0 < tail <= W // 2:  # align_fused_pair's fusion rule
+        mp = _round_up(max(m_pre, m_suf) + 1, 128)
+        calls = -(-2 * B // W)
+        _count_cells(calls * W, nc + mp, mp)
+        KERNEL_STATS["calls"] += calls - 1
+        return
+    for m in (m_pre, m_suf):
+        mp = _round_up(m + 1, 128)
+        rows = -(-B // W) * W
+        _count_cells(rows, nc + mp, mp)
+        KERNEL_STATS["calls"] += rows // W - 1
+
 
 @partial(jax.jit, static_argnames=("params", "with_traceback"))
 def align_scan(signal, n_actual, template, params: AlignParams, with_traceback: bool = True):
@@ -304,6 +358,7 @@ def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
             na = jnp.pad(na, (0, end - R), constant_values=1)
             tr = jnp.pad(tr, ((0, end - R), (0, 0)), constant_values=1e30)
             mr = np.pad(mr, (0, end - R), constant_values=1)
+        _count_cells(kb, sig2.shape[1] + mp, mp)
         outs.append(_align_batch_wave_multi(sl, na, tr, jnp.asarray(mr), params, m_max))
         b0 = end
     out = {k: jnp.concatenate([o[k] for o in outs])[:R] for k in outs[0]}
@@ -358,6 +413,7 @@ def align_batch_longread(signals, n_actual, template_np: np.ndarray,
 
     import jax.numpy as jnp
 
+    _count_cells(B, N + mp, mp)  # pass 1 (score-only forward)
     bottom_steps, ckpts = align_forward_ckpt(
         jnp.asarray(signals), jnp.asarray(n_actual), jnp.asarray(tmpl_padded),
         params, m, ckpt_chunks)
@@ -402,6 +458,7 @@ def align_batch_longread(signals, n_actual, template_np: np.ndarray,
         r_init[i] = sig_ext[i, s : mp + s][::-1]
     steps_needed = (t_end - t0 + 1).astype(np.int32)
 
+    _count_cells(B, W, mp)  # pass 2 (windowed pointer recompute)
     ptr = align_window_from_state(
         jnp.asarray(sig_win), jnp.asarray(r_init),
         tuple(jnp.asarray(x) for x in state5), jnp.asarray(cold),
@@ -487,11 +544,13 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
             if end > B:
                 sl = jnp.pad(sl, ((0, end - B), (0, 0)))
                 na = jnp.pad(na, (0, end - B), constant_values=1)
+            _count_cells(kb, n_cols if wave else signals.shape[1], tmpl_padded.shape[1])
             outs.append(batch_fn(sl, na, tmpl_dev, params, m))
             b0 = end
         out = {k: jnp.concatenate([o[k] for o in outs])[:B] for k in outs[0]}
         return out
     template = jnp.asarray(template_np, jnp.float32)
+    _count_cells(signals.shape[0], signals.shape[1], len(template_np) + 1)
     inner = jax.vmap(lambda s, n: align_scan(s, n, template, params, True))
     return inner(signals, n_actual)
 
