@@ -435,16 +435,14 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
 
     neg_h = params.gap_open_h < 0 and params.gap_extension_h <= 0
 
-    def diag_body(c_in, u, force_boundary, carry):
+    def diag_body(c_in, u, force_boundary, carry, R_pre):
         S1, S2, Ih, C, BV, R, rot, bt, acc = carry
         t = chunk * CHUNK + c_in  # global 0-based diagonal step
-        # slide the reversed signal window: lane 0 <- a[t].  The chunk's
-        # signal tile rotates one lane per step so a[t] is always lane 0
-        # — a slice + one permute instead of a masked 128-lane max
-        # reduction on the serial chain (the kernel is latency-bound)
-        aj = rot[:, 0:1]
-        rot = jnp.concatenate([rot[:, 1:], rot[:, :1]], axis=1)
-        R = jnp.concatenate([jnp.broadcast_to(aj, (batch, 1)), R[:, :-1]], axis=1)
+        # R_pre: this step's reversed signal window, precomputed OFF the
+        # serial chain (see make_body8) — the former per-step rot rotate
+        # + R shift were ~2 serial lane-permutes per step on the latency
+        # chain (tools/profile_wave_floor.py: 16.5% of the kernel)
+        R = R_pre
         diff = jnp.abs(R - tmpl)
         sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
         ih_ext = Ih + ge_h
@@ -497,11 +495,9 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             j = t + 1 - m_actual
             live = (j >= 1) & (j <= nact)
             bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
-        # append this step's bottom at the tile's tail: after the chunk's
-        # CHUNK steps, position u holds step u's value (off the serial
-        # chain, one permute instead of a masked select)
-        bt = jnp.concatenate([bt[:, 1:], bval], axis=1)
-        return S1, newS, newIh, newC, newBV, R, rot, bt, acc
+        # the step's bottom tap returns to body8, which assembles 8 taps
+        # into the tile with ONE concat per word (off the serial chain)
+        return S1, newS, newIh, newC, newBV, R, rot, bval, acc
         # note the rotation: S2' = S1 happens via positional return order
 
     unroll = WAVE_UNROLL
@@ -512,13 +508,31 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             # larger windows amortize the loop carry at some compile cost
             S1, S2, Ih, C, BV, R, rot, bt = carry
             for w in range(unroll // 8):
+                # parallel-R: the word's 8 reversed-window states derive
+                # from the word-base R + 8 STATIC signal lanes of rot —
+                # independent concats off the serial chain (rot itself
+                # rotates once per ``unroll`` steps, below), instead of
+                # a serial rotate + shift pair per step.  Value-identical
+                # by construction: R(t+u) = [a(t+u) .. a(t), R_base[:-u-1]].
+                head = [rot[:, w * 8 + v : w * 8 + v + 1] for v in range(8)]
+                R_pres = [jnp.concatenate(
+                    [*(head[v] for v in range(u, -1, -1)), R[:, : mp - u - 1]],
+                    axis=1) for u in range(8)]
                 acc = jnp.zeros((batch, mp), jnp.int32)
+                bvals = []
                 for u in range(8):
-                    S2, S1, Ih, C, BV, R, rot, bt, acc = diag_body(
+                    S2, S1, Ih, C, BV, _R, rot, bval, acc = diag_body(
                         q * unroll + w * 8 + u, u, force_boundary,
-                        (S1, S2, Ih, C, BV, R, rot, bt, acc))
+                        (S1, S2, Ih, C, BV, R, rot, None, acc), R_pres[u])
+                    bvals.append(bval)
+                R = R_pres[7]
+                # one 8-tap assembly per word instead of a serial
+                # append-rotate per step (same end state: after the
+                # chunk, bt[:, u] holds step u's bottom value)
+                bt = jnp.concatenate([bt[:, 8:], *bvals], axis=1)
                 if with_ptr:
                     ptr_ref[q * (unroll // 8) + w, :, :] = acc
+            rot = jnp.concatenate([rot[:, unroll:], rot[:, :unroll]], axis=1)
             return S1, S2, Ih, C, BV, R, rot, bt
         return body8
 

@@ -133,13 +133,16 @@ def main():
                     return x
                 return jnp.concatenate([jnp.full((batch, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
-            def diag_body(c_in, u, carry):
+            def diag_body(c_in, u, carry, R_pre=None):
                 S1, S2, Ih, C, BV, R, rot, bt, acc = carry
                 t = chunk * AP.CHUNK + c_in
-                aj = rot[:, 0:1]
-                if not no_rot:
-                    rot = jnp.concatenate([rot[:, 1:], rot[:, :1]], axis=1)
-                    R = jnp.concatenate([jnp.broadcast_to(aj, (batch, 1)), R[:, :-1]], axis=1)
+                if R_pre is not None:
+                    R = R_pre  # parallel-R: precomputed off the serial chain
+                else:
+                    aj = rot[:, 0:1]
+                    if not no_rot:
+                        rot = jnp.concatenate([rot[:, 1:], rot[:, :1]], axis=1)
+                        R = jnp.concatenate([jnp.broadcast_to(aj, (batch, 1)), R[:, :-1]], axis=1)
                 diff = jnp.abs(R - tmplv)
                 if no_pow:
                     sc = jnp.maximum(off - diff, dmin)
@@ -175,9 +178,27 @@ def main():
             def body8(q, carry):
                 S1, S2, Ih, C, BV, R, rot, bt = carry
                 acc = jnp.zeros((batch, mpk), jnp.int32)
-                for u in range(8):
-                    S2, S1, Ih, C, BV, R, rot, bt, acc = diag_body(
-                        q * 8 + u, u, (S1, S2, Ih, C, BV, R, rot, bt, acc))
+                if parallel_r:
+                    # all 8 reversed-window states derive from the
+                    # iteration-base R + this iteration's 8-lane signal
+                    # window (static lanes 0..7 of rot; rot rotates by 8
+                    # ONCE per iteration) — independent concats, OFF the
+                    # serial chain
+                    head = [rot[:, v : v + 1] for v in range(8)]  # a[t+v]
+                    R_pres = [jnp.concatenate(
+                        [*(head[v] for v in range(u, -1, -1)),
+                         R[:, : mpk - u - 1]], axis=1)
+                        for u in range(8)]
+                    for u in range(8):
+                        S2, S1, Ih, C, BV, R_dead, rot_d, bt, acc = diag_body(
+                            q * 8 + u, u, (S1, S2, Ih, C, BV, R, rot, bt, acc),
+                            R_pre=R_pres[u])
+                    R = R_pres[7]
+                    rot = jnp.concatenate([rot[:, 8:], rot[:, :8]], axis=1)
+                else:
+                    for u in range(8):
+                        S2, S1, Ih, C, BV, R, rot, bt, acc = diag_body(
+                            q * 8 + u, u, (S1, S2, Ih, C, BV, R, rot, bt, acc))
                 if not no_ptr:
                     ptr_ref[q, :, :] = acc
                 return S1, S2, Ih, C, BV, R, rot, bt
@@ -238,6 +259,18 @@ def main():
         v = timed(name, run_abl(**kw), nd)
         results[f"{name}_us_step"] = v
         print(f"    -> share {max(base - v, 0) / base * 100:5.1f}%")
+
+    # candidate optimization: parallel-R (full math) — verify bit-equal
+    # outputs against the ablation baseline, then time it
+    fwd_base = make_ablated()
+    fwd_pr = make_ablated(parallel_r=True)
+    pb1, bb1 = fwd_base(sig, na, jnp.asarray(tmpl_padded))
+    pb2, bb2 = fwd_pr(sig, na, jnp.asarray(tmpl_padded))
+    same = bool(np.asarray(jnp.all(bb1 == bb2))) and bool(np.asarray(jnp.all(pb1 == pb2)))
+    results["parallel_r_bit_identical"] = same
+    print(f"parallel-R outputs bit-identical: {same}")
+    results["parallel_r_us_step"] = timed("parallel-R (candidate)",
+                                          run_abl(parallel_r=True), nd)
 
     # ------------------------------------------------------------------
     # 2. synthetic dependent-chain micro-kernels: time/step = a + b*k
