@@ -437,8 +437,10 @@ class RepeatCounter:
         """Eager twin of :meth:`_bounds_pipeline` for ultra-long buckets:
         same math, but align runs through the two-pass long-read route
         (bit-identical results; see ops.align.align_batch_longread).
-        Runs single-device — a mesh gains little here (8-read groups
-        bound pass-1 memory and dominate wall time per chip anyway)."""
+        Under a mesh the two-pass's 8-wide groups round-robin over the
+        mesh devices (pass-1 dispatches fan out before the first sync,
+        ops.align.align_longread_sharded) — ultra-long batches scale
+        with --devices like the standard path."""
         import jax.numpy as jnp
 
         from ..ops.bounds import segment_bounds
@@ -449,7 +451,10 @@ class RepeatCounter:
         t_suf = np.asarray(tc.suffix_ext, np.float32)
         morph = _unpack_morph_upload(jnp.asarray(buf))
         n_dev = jnp.asarray(n_sigs_p)
-        pre, suf = align_ops.align_fused_pair(morph, n_dev, t_pre, t_suf, params)
+        devices = (list(self.mesh.devices.flat)
+                   if self.mesh is not None else None)
+        pre, suf = align_ops.align_fused_pair(morph, n_dev, t_pre, t_suf, params,
+                                              devices=devices)
         b = segment_bounds(
             {k: pre[k] for k in ("score", "is_gap", "jpos")},
             {k: suf[k] for k in ("score", "is_gap", "jpos")},
@@ -473,12 +478,19 @@ class RepeatCounter:
         """
         return self.detect_finish(self.detect_submit(target_name, raw_signals, strand))
 
-    def detect_submit(self, target_name: str, raw_signals, strand: str) -> dict:
+    def detect_submit(self, target_name: str, raw_signals, strand: str,
+                      preps=None) -> dict:
         """Phase 1: preprocessing + fused device dispatch (returns a handle).
 
         The packed results start copying to the host asynchronously;
         callers can submit the next batch before calling
         :meth:`detect_finish` so device compute and transfers overlap.
+        ``preps``: optional per-read share tokens (dicts) — a read that
+        intersects several targets preps ONCE and later batches reuse
+        the cached morph/LUT/flt buffers (prep is ~85% of per-read host
+        cost, tools/profile_host.py; the reference re-preps per target,
+        scripts/STRique.py:702-704).  Prep is target- and strand-
+        independent, so sharing is exact.
         """
         tc_plus, tc_minus = self.targets[target_name]
         if strand == "+":
@@ -520,7 +532,7 @@ class RepeatCounter:
             # phase can run eagerly so the two-pass long-read alignment
             # (host-orchestrated) slots in where the jitted pipeline can't
             return self._split_submit(tc, raws, n_sigs, n_sigs_p, npad, Bp,
-                                      have_native)
+                                      have_native, preps=preps)
         morphs = None
         if fusible and have_native:
             # single-pass native preprocessing writes straight into one
@@ -620,10 +632,17 @@ class RepeatCounter:
         return state
 
     def _split_submit(self, tc, raws, n_sigs, n_sigs_p, npad, Bp,
-                      have_native: bool) -> dict:
+                      have_native: bool, preps=None) -> dict:
         """Phase 1 of the split pipeline: prep + morph-only upload + align
         dispatch.  The flt channel stays on host; only the repeat segments
-        (phase 2, :meth:`detect_middle`) ever ship to the device."""
+        (phase 2, :meth:`detect_middle`) ever ship to the device.
+
+        ``preps``: per-read share tokens for multi-target reads — see
+        :meth:`detect_submit`.  A token-hit read costs two memcpys
+        (LUT + morph bytes into this batch's upload buffer) instead of
+        the full native prep pass; its upload row still rides this
+        batch's single H2D (a duplicated row is ~1 byte/sample ≈ 25 KB —
+        noise next to the ~1 ms/read prep it replaces)."""
         import jax.numpy as jnp
 
         from .. import native as native_lib
@@ -632,6 +651,28 @@ class RepeatCounter:
         buf = np.zeros((Bp, _morph_buf_bytes(npad)), dtype=np.uint8)
         flt32s: list = [None] * len(raws)
         flts: list = [None] * len(raws)
+
+        def _token(i):
+            return preps[i] if preps is not None and i < len(preps) else None
+
+        def _from_token(i, row):
+            tok = _token(i)
+            if tok is None or "prep" not in tok:
+                return False
+            lutb, qb, flt32, flt64 = tok["prep"]
+            row[: 4 * _LUT_LEVELS] = np.frombuffer(lutb, np.uint8)
+            row[4 * _LUT_LEVELS : 4 * _LUT_LEVELS + len(qb)] = np.frombuffer(qb, np.uint8)
+            flt32s[i] = flt32
+            flts[i] = flt64
+            return True
+
+        def _to_token(i, row, n):
+            tok = _token(i)
+            if tok is not None:
+                tok["prep"] = (bytes(row[: 4 * _LUT_LEVELS]),
+                               bytes(row[4 * _LUT_LEVELS : 4 * _LUT_LEVELS + n]),
+                               flt32s[i], flts[i])
+
         if have_native:
             mc = model_const(self.pm)
 
@@ -639,21 +680,26 @@ class RepeatCounter:
                 i, raw = i_raw
                 n = len(raw)
                 row = buf[i]
+                if _from_token(i, row):
+                    return
                 lut = row[: 4 * _LUT_LEVELS].view(np.float32)
                 q = row[4 * _LUT_LEVELS :][:n]
                 flt32 = np.empty(n, np.float32)
                 flt64 = native_lib.preprocess_read_lut(raw, mc, flt32, q, lut)
                 flt32s[i] = flt32
                 flts[i] = flt64
+                _to_token(i, row, n)
 
             list(self._prep_pool().map(_prep_row, enumerate(raws)))
         else:
             for i, raw in enumerate(raws):
+                row = buf[i]
+                if _from_token(i, row):
+                    continue
                 flt = signal_ops.medfilt3(raw)
                 bins = signal_ops.quantize_morph_np(
                     flt, float(np.median(flt)), mean_abs_dev(flt))
                 bins = signal_ops.open_close_np(bins)
-                row = buf[i]
                 row[4 * _LUT_LEVELS :][: len(raw)] = bins.astype(np.uint8)
                 aff = self.pm.norm_params(bins, mode="minmax")
                 lut64 = np.clip(np.arange(_LUT_LEVELS, dtype=np.float64)
@@ -662,6 +708,7 @@ class RepeatCounter:
                 flt_n = self.pm.normalize2model(flt, mode="minmax")
                 flts[i] = flt_n
                 flt32s[i] = flt_n.astype(np.float32)
+                _to_token(i, row, len(raw))
         if self._ultra_long(tc, npad):
             # two-pass align dispatches eagerly and self-counts its cells
             bounds_dev = self._bounds_eager(tc, buf, n_sigs_p)

@@ -289,7 +289,8 @@ def _align_batch_wave_multi(signals, n_actual, tmpl_rows, m_rows,
     return {"score": score, "j_end": j_end, **tb}
 
 
-def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
+def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams,
+                     devices=None):
     """Both flank alignments of a batch as ONE per-row-template stream.
 
     The wave kernel's per-call time is flat in width, so a partial batch
@@ -331,8 +332,8 @@ def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
         if nd * 8 * mp // 2 > ptr_budget_bytes():
             use_fuse = False
     if not use_fuse:
-        pre = align_core(signals, n_actual, t_pre, params)
-        suf = align_core(signals, n_actual, t_suf, params)
+        pre = align_core(signals, n_actual, t_pre, params, devices=devices)
+        suf = align_core(signals, n_actual, t_suf, params, devices=devices)
         return pre, suf
 
     B, N = signals.shape
@@ -367,22 +368,34 @@ def align_fused_pair(signals, n_actual, t_pre, t_suf, params: AlignParams):
     return pre, suf
 
 
-def align_batch_longread(signals, n_actual, template_np: np.ndarray,
-                         params: AlignParams, ckpt_steps: int = 16384):
-    """Checkpointed two-pass alignment for reads past the pointer budget.
+@partial(jax.jit, static_argnames=("W", "mp"))
+def _gather_windows(sig_dev, t0_dev, W: int, mp: int):
+    """Device-side per-read window gather for the two-pass pass 2.
 
-    Exact by construction (see ops.align_pallas two-pass notes): pass 1
-    runs the score-only wavefront with diagonal-state checkpoints every
-    ``ckpt_steps``; pass 2 recomputes pointers for a window that
-    provably contains the optimal path, resuming from the checkpoint at
-    its start — the restart state equals the full DP state, so pointers
-    and tracebacks are bit-identical to a (hypothetical) full plane.
-    Memory: O(ND/ckpt_steps + W) per read instead of O(ND).  The
-    reference's full-matrix SeqAn DP (src/align_raw.h:117-158) has no
-    such mode and exhausts host RAM at the same scale.
+    Replaces the per-read host slice loop (B numpy copies of W-sample
+    windows + a B*W H2D) with one on-device gather of the already
+    uploaded signals: sig_win[i] = a_i[t0 .. t0+W) and r_init[i] =
+    reversed a_i[t0-mp .. t0) (zero-padded outside the signal, matching
+    the host path's pad semantics).
     """
-    from .align_pallas import (CHUNK, align_forward_ckpt,
-                               align_window_from_state, pad_template,
+    sig_ext = jnp.pad(sig_dev, ((0, 0), (mp, W)))
+    cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+    sig_win = jnp.take_along_axis(sig_ext, mp + t0_dev[:, None] + cols, axis=1)
+    rcols = jnp.arange(mp, dtype=jnp.int32)[None, :]
+    r_init = jnp.take_along_axis(sig_ext, t0_dev[:, None] + rcols, axis=1)[:, ::-1]
+    return sig_win, r_init
+
+
+def _longread_pass1(signals, n_actual, template_np: np.ndarray,
+                    params: AlignParams, ckpt_steps: int, device=None) -> dict:
+    """Dispatch the two-pass pass 1 (score-only forward + checkpoints).
+
+    Returns a state dict of device arrays + metadata; the dispatch is
+    asynchronous, so callers can fan several groups out over devices
+    (``device``: jax.Device to pin this group's computation to) before
+    the first :func:`_longread_pass2` synchronizes.
+    """
+    from .align_pallas import (CHUNK, align_forward_ckpt, pad_template,
                                wave_span_bound_steps)
 
     signals = np.asarray(signals, np.float32)
@@ -411,28 +424,47 @@ def align_batch_longread(signals, n_actual, template_np: np.ndarray,
         N = signals.shape[1]
     W = ((bound + ckpt_steps + CHUNK - 1) // CHUNK) * CHUNK
 
-    import jax.numpy as jnp
+    def put(x):
+        return jax.device_put(x, device) if device is not None else jnp.asarray(x)
 
+    sig_dev = put(signals)
+    tmpl_dev = put(tmpl_padded)
     _count_cells(B, N + mp, mp)  # pass 1 (score-only forward)
     bottom_steps, ckpts = align_forward_ckpt(
-        jnp.asarray(signals), jnp.asarray(n_actual), jnp.asarray(tmpl_padded),
-        params, m, ckpt_chunks)
+        sig_dev, put(n_actual), tmpl_dev, params, m, ckpt_chunks)
+    return {"bottom_steps": bottom_steps, "ckpts": ckpts, "sig_dev": sig_dev,
+            "tmpl_dev": tmpl_dev, "params": params, "m": m, "mp": mp,
+            "bound": bound, "ckpt_steps": ckpt_steps, "B": B, "N": N, "W": W,
+            "device": device, "put": put}
+
+
+def _longread_pass2(st: dict) -> dict:
+    """Synchronize a pass-1 state and run pass 2 + traceback.
+
+    Returns the align_core-shaped dict as HOST numpy arrays (groups may
+    live on different devices; callers concatenate on host).
+    """
+    from .align_pallas import align_window_from_state
+
+    params, m, mp = st["params"], st["m"], st["mp"]
+    B, N, W = st["B"], st["N"], st["W"]
+    put = st["put"]
     # exact score / j_end from the step-space bottoms (column j at step
     # m+j-1; virtual column 0 = full-template vertical gap)
-    bottom_cols = bottom_steps[:, m : m + N]
+    bottom_cols = st["bottom_steps"][:, m : m + N]
     b0 = jnp.float32(params.gap_open_v) + jnp.float32(params.gap_extension_v) * (m - 1)
     bottom = jnp.concatenate([jnp.full((B, 1), b0), bottom_cols], axis=1)
     j_end = np.asarray(jnp.argmax(bottom, axis=1)).astype(np.int64)
-    score = np.asarray(jnp.take_along_axis(bottom, jnp.asarray(j_end)[:, None], axis=1))[:, 0]
+    score = np.asarray(jnp.take_along_axis(bottom, put(j_end)[:, None], axis=1))[:, 0]
 
     # per-read window: [t0, t0+W) with t0 on a checkpoint boundary at or
     # before t_end - bound, so every step the traceback can visit is
     # in-window; W >= bound + ckpt_steps makes t_end fit
     t_end = j_end + m - 1
-    t0 = np.maximum(t_end - bound, 0) // ckpt_steps * ckpt_steps
+    t0 = np.maximum(t_end - st["bound"], 0) // st["ckpt_steps"] * st["ckpt_steps"]
     cold = (t0 == 0).astype(np.int32)
-    slot = t0 // ckpt_steps - 1  # checkpoint slot g-1; cold reads ignore it
-    slot_d = jnp.asarray(np.maximum(slot, 0), jnp.int32)
+    slot = t0 // st["ckpt_steps"] - 1  # checkpoint slot g-1; cold reads ignore it
+    slot_d = put(np.maximum(slot, 0).astype(np.int32))
 
     # gather per-read restart state (cold reads get cold-start values)
     lane = np.arange(mp)
@@ -446,47 +478,94 @@ def align_batch_longread(signals, n_actual, template_np: np.ndarray,
     state5 = []
     for k in range(5):
         warm = np.asarray(jnp.take_along_axis(
-            ckpts[k], slot_d[None, :, None], axis=0)[0])
+            st["ckpts"][k], slot_d[None, :, None], axis=0)[0])
         state5.append(np.where(cold[:, None] == 1, cold_state[k], warm))
-    # per-read signal window a[t0 .. t0+W) and reversed pre-window R init
-    sig_ext = np.pad(signals, ((0, 0), (mp, W)))  # mp lead for R, W tail
-    sig_win = np.zeros((B, W), np.float32)
-    r_init = np.full((B, mp), NEG, np.float32)
-    for i in range(B):
-        s = int(t0[i])
-        sig_win[i] = sig_ext[i, mp + s : mp + s + W]
-        r_init[i] = sig_ext[i, s : mp + s][::-1]
+    # per-read signal window + reversed pre-window, gathered ON DEVICE
+    # from the already-uploaded signals (no B x W host copies/uploads)
+    sig_win, r_init = _gather_windows(st["sig_dev"], put(t0.astype(np.int32)), W, mp)
     steps_needed = (t_end - t0 + 1).astype(np.int32)
 
     _count_cells(B, W, mp)  # pass 2 (windowed pointer recompute)
     ptr = align_window_from_state(
-        jnp.asarray(sig_win), jnp.asarray(r_init),
-        tuple(jnp.asarray(x) for x in state5), jnp.asarray(cold),
-        jnp.asarray(steps_needed), jnp.asarray(tmpl_padded), params, m)
+        sig_win, r_init, tuple(put(x) for x in state5), put(cold),
+        put(steps_needed), st["tmpl_dev"], params, m)
 
     # traceback per read in local step space (j_local = j_global - t0)
-    j_end_local = jnp.asarray((j_end - t0).astype(np.int32))
+    j_end_local = put((j_end - t0).astype(np.int32))
     tb = jax.vmap(lambda p, je: traceback_pointers(p, je, m, packed="diag"),
                   in_axes=(1, 0))(ptr, j_end_local)
-    out = {
-        "score": jnp.asarray(score.astype(np.float32)),
-        "j_end": jnp.asarray(j_end.astype(np.int32)),
-        "is_gap": tb["is_gap"],
-        "jpos": tb["jpos"] + jnp.asarray(t0.astype(np.int32))[:, None],
-        "j_begin": tb["j_begin"] + jnp.asarray(t0.astype(np.int32)),
+    return {
+        "score": score.astype(np.float32),
+        "j_end": j_end.astype(np.int32),
+        "is_gap": np.asarray(tb["is_gap"]),
+        "jpos": np.asarray(tb["jpos"]) + t0.astype(np.int32)[:, None],
+        "j_begin": np.asarray(tb["j_begin"]) + t0.astype(np.int32),
     }
-    return out
+
+
+def align_batch_longread(signals, n_actual, template_np: np.ndarray,
+                         params: AlignParams, ckpt_steps: int = 16384,
+                         device=None):
+    """Checkpointed two-pass alignment for reads past the pointer budget.
+
+    Exact by construction (see ops.align_pallas two-pass notes): pass 1
+    runs the score-only wavefront with diagonal-state checkpoints every
+    ``ckpt_steps``; pass 2 recomputes pointers for a window that
+    provably contains the optimal path, resuming from the checkpoint at
+    its start — the restart state equals the full DP state, so pointers
+    and tracebacks are bit-identical to a (hypothetical) full plane.
+    Memory: O(ND/ckpt_steps + W) per read instead of O(ND).  The
+    reference's full-matrix SeqAn DP (src/align_raw.h:117-158) has no
+    such mode and exhausts host RAM at the same scale.
+    """
+    out = _longread_pass2(_longread_pass1(signals, n_actual, template_np,
+                                          params, ckpt_steps, device))
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def align_longread_sharded(signals, n_actual, template_np: np.ndarray,
+                           params: AlignParams, devices=None,
+                           ckpt_steps: int = 16384, group: int = 8):
+    """Two-pass alignment with 8-wide groups round-robined over devices.
+
+    The phases are independent per group, so ultra-long batches scale
+    across chips without shard_map: every group's pass 1 dispatches
+    (asynchronously) to its device before the first pass-2 synchronizes,
+    and pass 2 / traceback then overlap across devices the same way.
+    ``devices=None`` (or a single device) degrades to the sequential
+    single-device behavior.  Results are bit-identical to
+    :func:`align_batch_longread` — same kernels, same per-group math.
+    """
+    signals = np.asarray(signals, np.float32)
+    n_actual = np.asarray(n_actual, np.int32)
+    B = signals.shape[0]
+    devs = list(devices) if devices else [None]
+    states = []
+    for gi, g0 in enumerate(range(0, B, group)):
+        sl = signals[g0 : g0 + group]
+        na = n_actual[g0 : g0 + group]
+        if len(sl) < group:
+            sl = np.pad(sl, ((0, group - len(sl)), (0, 0)))
+            na = np.pad(na, (0, group - len(na)), constant_values=1)
+        states.append(_longread_pass1(sl, na, template_np, params, ckpt_steps,
+                                      device=devs[gi % len(devs)]))
+    outs = [_longread_pass2(st) for st in states]
+    return {k: jnp.asarray(np.concatenate([o[k] for o in outs])[:B])
+            for k in outs[0]}
 
 
 def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
-               impl: str = "auto"):
+               impl: str = "auto", devices=None):
     """Batched alignment on local data — traceable inside jit/shard_map.
 
     signals: (B, N); uses the Pallas kernel on TPU (B padded to the
     kernel batch, N must be a multiple of its chunk), the lax.scan kernel
     elsewhere.  ``template_np`` must be a host numpy array (its length is
-    static).  Returns dict of per-read arrays (score, j_end, is_gap,
-    jpos, j_begin).
+    static).  ``devices``: optional jax.Device list for the ultra-long
+    two-pass route only (its host-orchestrated groups round-robin over
+    them; the standard in-jit path ignores it — mesh callers shard via
+    shard_map instead).  Returns dict of per-read arrays (score, j_end,
+    is_gap, jpos, j_begin).
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
@@ -516,18 +595,14 @@ def align_core(signals, n_actual, template_np: np.ndarray, params: AlignParams,
             nd = signals.shape[1] + tmpl_padded.shape[1]
             if (nd * 8 * tmpl_padded.shape[1] // 2 > ptr_budget_bytes()
                     and wave_span_bound_steps(params, m) is not None):
-                sig_np = np.asarray(signals)
-                na_np = np.asarray(n_actual)
-                outs = []
-                for g0 in range(0, B, 8):  # 8-wide groups bound pass-1 memory
-                    sl = sig_np[g0 : g0 + 8]
-                    na = na_np[g0 : g0 + 8]
-                    if len(sl) < 8:
-                        sl = np.pad(sl, ((0, 8 - len(sl)), (0, 0)))
-                        na = np.pad(na, (0, 8 - len(na)), constant_values=1)
-                    outs.append(align_batch_longread(sl, na, template_np, params))
-                return {k: jnp.concatenate([o[k] for o in outs])[:B]
-                        for k in outs[0]}
+                # 8-wide groups bound pass-1 memory; with ``devices`` the
+                # groups round-robin over chips (pass-1 dispatches fan
+                # out before the first sync) — the ultra-long regime
+                # scales with the mesh like the standard path does
+                return align_longread_sharded(np.asarray(signals),
+                                              np.asarray(n_actual),
+                                              template_np, params,
+                                              devices=devices)
         tmpl_dev = jnp.asarray(tmpl_padded)
         outs = []
         b0 = 0

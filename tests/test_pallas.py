@@ -264,6 +264,36 @@ def test_longread_requires_bounded_horizontal_gaps():
         align_batch_longread(sig, na, tmpl, p)
 
 
+def test_align_longread_sharded_over_devices():
+    """The device-sharded two-pass front-end (8-wide groups round-robined
+    over the mesh's devices, pass-1 dispatches fanned out before the
+    first sync) must be bit-identical to the one-pass kernel and the
+    single-device two-pass — on the virtual 8-device CPU mesh."""
+    import jax
+
+    from strique_tpu.ops.align import (align_batch, align_batch_longread,
+                                       align_longread_sharded)
+
+    rng = np.random.default_rng(31)
+    B, N, M = 24, 2048, 40  # 3 groups over the devices
+    p = AlignParams()
+    template = rng.uniform(60, 120, M).astype(np.float32)
+    signals = rng.uniform(60, 120, (B, N)).astype(np.float32)
+    for i in range(B):
+        st = int(rng.integers(0, N - 3 * M))
+        signals[i, st : st + M] = template + rng.normal(0, 0.5, M)
+    na = rng.integers(N // 2, N, B).astype(np.int32)
+    one = align_batch(signals, na, template, p, impl="pallas_wave")
+    single = align_batch_longread(signals, na, template, p, ckpt_steps=512)
+    sharded = align_longread_sharded(signals, na, template, p,
+                                     devices=jax.devices(), ckpt_steps=512)
+    for k in ("score", "j_end", "is_gap", "jpos", "j_begin"):
+        np.testing.assert_array_equal(np.asarray(one[k]), np.asarray(sharded[k]),
+                                      err_msg=f"one-pass vs sharded {k}")
+        np.testing.assert_array_equal(np.asarray(single[k]), np.asarray(sharded[k]),
+                                      err_msg=f"single vs sharded {k}")
+
+
 def test_longread_ckpt_steps_below_template_width():
     """ckpt_steps smaller than the template pad width must be clamped
     up: a warm restart at t0 < mp skips pass-2 column-0 boundary forcing
