@@ -151,9 +151,14 @@ class StreamScheduler:
         self._submit_pool = None
 
     # -- submission ----------------------------------------------------------
-    def add(self, ctx, target_name: str, strand: str, raw) -> None:
+    def add(self, ctx, target_name: str, strand: str, raw,
+            prep_token: dict | None = None) -> None:
+        """``prep_token``: share one dict across the add() calls of a read
+        that intersects several targets — the first batch to prep it
+        caches the preprocessed buffers in the token and later batches
+        reuse them (counter.detect_submit ``preps``)."""
         key = (target_name, strand, signal_bucket(len(raw)))
-        self.queues.setdefault(key, []).append((ctx, raw))
+        self.queues.setdefault(key, []).append((ctx, raw, prep_token))
         self.n_queued += 1
         if len(self.queues[key]) >= self.batch_size:
             self._flush(key)
@@ -200,17 +205,20 @@ class StreamScheduler:
         self._submit(target_name, strand, items)
 
     def _submit(self, target_name: str, strand: str, items: list) -> None:
-        raws = [raw for _, raw in items]
+        raws = [it[1] for it in items]
+        toks = [it[2] for it in items]
+        preps = toks if any(t is not None for t in toks) else None
         if self._async_submit:
             if self._submit_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
                 self._submit_pool = ThreadPoolExecutor(max_workers=1)
             state = self._submit_pool.submit(
-                self.counter.detect_submit, target_name, raws, strand)
+                self.counter.detect_submit, target_name, raws, strand, preps)
         else:
             try:
-                state = self.counter.detect_submit(target_name, raws, strand)
+                state = self.counter.detect_submit(target_name, raws, strand,
+                                                   preps=preps)
             except KeyboardInterrupt:
                 raise
             except Exception:
@@ -269,12 +277,12 @@ class StreamScheduler:
                     "individually.\n"
                     + "".join(traceback.format_exception(*sys.exc_info())), LogLevel.Warning)
         if outs is not None:
-            for i, (ctx, _raw) in enumerate(items):
-                self.on_result(ctx, outs[i])
+            for i, it in enumerate(items):
+                self.on_result(it[0], outs[i])
             return
         # per-read retry: one poisoned read costs only itself, matching the
         # reference's fault-isolation contract (scripts/STRique.py:764-768)
-        for ctx, raw in items:
+        for ctx, raw, _tok in items:
             out = None
             try:
                 out = self.counter.detect(target_name, raw, strand)

@@ -73,8 +73,13 @@ def run_pipeline(sam_lines, detector, writer, io_threads: int = 1,
             sr, target_names, raw = job
             line_left[line_id] = len(target_names)
             line_rows[line_id] = []
+            # a read intersecting several targets shares one prep token:
+            # the first batch to prep it caches the preprocessed buffers,
+            # later batches memcpy instead of re-running the native pass
+            token = {} if len(target_names) > 1 else None
             for t in target_names:
-                sched.add((line_id, sr.QNAME, t, sr.strand), t, sr.strand, raw)
+                sched.add((line_id, sr.QNAME, t, sr.strand), t, sr.strand, raw,
+                          prep_token=token)
 
         def decode(line):
             try:
