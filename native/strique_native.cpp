@@ -55,16 +55,6 @@ double mad_f64(const double* x, int64_t n) {
     return s / n;
 }
 
-// median + MAD in one pass over one scratch copy (the separate helpers each
-// re-copy and re-select; prep calls them back to back on the same channel).
-static void median_mad_f64(const double* x, int64_t n, double* med, double* mad) {
-    std::vector<double> v(x, x + n);
-    *med = median_inplace(v);
-    double s = 0;
-    for (int64_t i = 0; i < n; ++i) s += std::fabs(x[i] - *med);
-    *mad = s / n;
-}
-
 double median_f64(const double* x, int64_t n) {
     std::vector<double> v(x, x + n);
     return median_inplace(v);
@@ -81,27 +71,58 @@ static inline double clip_np(double v, double lo, double hi) {
 
 // Windowed min/max with clip-to-valid borders; erosion window [-l, w-1-l],
 // dilation [-(w-1-l), +l] (scipy.ndimage grey ops, even footprint).
-// Monotonic-deque sliding extremum: amortized O(1)/sample regardless of the
-// window width (the naive scan is O(w)/sample and was ~30% of prep time).
-// Pure selection — bit-identical to the direct min/max scan.
+// van Herk / Gil-Werman sliding extremum: per block of w samples compute a
+// forward prefix extremum and a backward suffix extremum, then every
+// window [a, b] (b - a + 1 == w) straddles at most one block boundary and
+// equals ext(suffix[a], prefix[b]).  Three branch-free linear passes the
+// compiler vectorizes, replacing the branchy monotonic deque (which was
+// itself ~2x the vH-GW cost).  Pure selection over the same value sets —
+// bit-identical to the direct min/max scan.
 static void win_reduce(const double* x, int64_t n, int left, int right, bool is_min,
                        double* out) {
     if (n == 0) return;
-    std::vector<int64_t> dq(n);
-    int64_t head = 0, tail = 0;  // dq[head..tail) = candidate indices
-    int64_t next = 0;            // next index to admit
-    for (int64_t i = 0; i < n; ++i) {
-        int64_t hi = std::min<int64_t>(n - 1, i + right);
-        for (; next <= hi; ++next) {
-            if (is_min) {
-                while (tail > head && x[dq[tail - 1]] >= x[next]) --tail;
-            } else {
-                while (tail > head && x[dq[tail - 1]] <= x[next]) --tail;
-            }
-            dq[tail++] = next;
-        }
-        while (dq[head] < i - left) ++head;
-        out[i] = x[dq[head]];
+    const int64_t w = (int64_t)left + right + 1;
+    static thread_local std::vector<double> pre_buf, suf_buf;
+    pre_buf.resize(n);
+    suf_buf.resize(n);
+    double* pre = pre_buf.data();
+    double* suf = suf_buf.data();
+    for (int64_t s = 0; s < n; s += w) {
+        int64_t e = std::min(s + w, n);
+        double acc = x[s];
+        pre[s] = acc;
+        if (is_min)
+            for (int64_t i = s + 1; i < e; ++i) pre[i] = acc = std::min(acc, x[i]);
+        else
+            for (int64_t i = s + 1; i < e; ++i) pre[i] = acc = std::max(acc, x[i]);
+        acc = x[e - 1];
+        suf[e - 1] = acc;
+        if (is_min)
+            for (int64_t i = e - 2; i >= s; --i) suf[i] = acc = std::min(acc, x[i]);
+        else
+            for (int64_t i = e - 2; i >= s; --i) suf[i] = acc = std::max(acc, x[i]);
+    }
+    // left-clipped windows [0, i+right]: i + right < w, so the window lies
+    // inside block 0 and prefix[b] covers exactly [0, b]
+    int64_t i = 0;
+    for (int64_t stop = std::min<int64_t>(left, n); i < stop; ++i)
+        out[i] = pre[std::min<int64_t>(i + right, n - 1)];
+    // interior full windows: straddle (or exactly fill) blocks — the
+    // suffix/prefix union covers exactly [i-left, i+right]
+    int64_t end_main = n - right;
+    if (is_min)
+        for (; i < end_main; ++i) out[i] = std::min(suf[i - left], pre[i + right]);
+    else
+        for (; i < end_main; ++i) out[i] = std::max(suf[i - left], pre[i + right]);
+    // right-clipped windows [i-left, n-1]: suffix[a] alone when a sits in
+    // the last block, else suffix[a] + the last block's full prefix
+    for (; i < n; ++i) {
+        int64_t a = i - left;
+        if (a / w == (n - 1) / w)
+            out[i] = suf[a];
+        else
+            out[i] = is_min ? std::min(suf[a], pre[n - 1])
+                            : std::max(suf[a], pre[n - 1]);
     }
 }
 
@@ -164,26 +185,103 @@ void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
     *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
 }
 
+// Tail medians of the quantized morph channel via a 256-bin histogram.
+// The open/close output consists of exact integers 0..255 (floor-quantized
+// bins survive grey morphology unchanged), so every order statistic the
+// generic minmax_tails_f64 selects is a histogram lookup: one O(n) count
+// pass replaces two nth_element partitions over a scratch copy.  The
+// interpolation/count/median expressions replicate minmax_tails_f64
+// operation-for-operation, so results are bit-identical.
+static void minmax_tails_hist256(const double* x, int64_t n, double* m5, double* m95) {
+    int64_t hist[256] = {0};
+    for (int64_t i = 0; i < n; ++i) ++hist[(int)x[i]];
+    int64_t cum[257];
+    cum[0] = 0;
+    for (int v = 0; v < 256; ++v) cum[v + 1] = cum[v] + hist[v];
+    auto kth = [&](int64_t k) -> double {  // 0-based order statistic
+        int v = 0;
+        while (cum[v + 1] <= k) ++v;
+        return (double)v;
+    };
+    auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
+        double pos = (n - 1) * q / 100.0;
+        *lo = (int64_t)std::floor(pos);
+        *hi = std::min(*lo + 1, n - 1);
+        *w = pos - *lo;
+    };
+    int64_t lo1, hi1, lo99, hi99;
+    double w1, w99;
+    anchor(1.0, &lo1, &hi1, &w1);
+    anchor(99.0, &lo99, &hi99, &w99);
+    double q5 = kth(lo1) * (1.0 - w1) + kth(hi1) * w1;
+    double q95 = kth(lo99) * (1.0 - w99) + kth(hi99) * w99;
+    int64_t c5 = 0, c95 = 0;
+    for (int v = 0; v < 256; ++v) {
+        if ((double)v < q5) c5 += hist[v];
+        if ((double)v > q95) c95 += hist[v];
+    }
+    *m5 = c5 ? 0.5 * (kth((c5 - 1) / 2) + kth(c5 / 2)) : std::nan("");
+    *m95 = c95 ? 0.5 * (kth(n - c95 + (c95 - 1) / 2) + kth(n - c95 + c95 / 2))
+               : std::nan("");
+}
+
+// med + MAD + minmax tail medians of the flt channel from ONE scratch copy
+// (median_mad_f64 and minmax_tails_f64 each re-copy the channel; the
+// nth_element partitions are permutation-independent, so running all three
+// selections on one buffer is bit-identical).
+static void flt_stats(const double* x, int64_t n, double* med, double* mad,
+                      double* m5, double* m95) {
+    static thread_local std::vector<double> v;
+    v.assign(x, x + n);
+    *med = median_inplace(v);
+    double s = 0;
+    for (int64_t i = 0; i < n; ++i) s += std::fabs(x[i] - *med);
+    *mad = s / n;
+    auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
+        double pos = (n - 1) * q / 100.0;
+        *lo = (int64_t)std::floor(pos);
+        *hi = std::min(*lo + 1, n - 1);
+        *w = pos - *lo;
+    };
+    int64_t lo1, hi1, lo99, hi99;
+    double w1, w99;
+    anchor(1.0, &lo1, &hi1, &w1);
+    anchor(99.0, &lo99, &hi99, &w99);
+    std::nth_element(v.begin(), v.begin() + hi1, v.end());
+    std::sort(v.begin(), v.begin() + hi1 + 1);
+    std::nth_element(v.begin() + hi1 + 1, v.begin() + std::max(lo99, hi1 + 1), v.end());
+    std::sort(v.begin() + std::max(lo99, hi1 + 1), v.end());
+    double q5 = v[lo1] * (1.0 - w1) + v[hi1] * w1;
+    double q95 = v[lo99] * (1.0 - w99) + v[hi99] * w99;
+    int64_t c5 = 0, c95 = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        c5 += x[i] < q5;
+        c95 += x[i] > q95;
+    }
+    *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
+    *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
+}
+
 // Full per-read preprocessing: raw signal -> normalized morph/flt channels.
 // model[4] = {m5_mod, m95_mod, clip_lo, clip_hi}.
 void preprocess_read(const double* raw, int64_t n, const double* model,
                      double* morph_n, double* flt_n) {
     std::vector<double> flt(n), morph(n);
     medfilt3_f64(raw, n, flt.data());
-    double med, mad;
-    median_mad_f64(flt.data(), n, &med, &mad);
+    double med, mad, f5, f95;
+    flt_stats(flt.data(), n, &med, &mad, &f5, &f95);
     morph_open_close_f64(flt.data(), n, med, mad, morph.data());
-    auto norm = [&](const double* ch, double* out) {
-        double m5, m95;
-        minmax_tails_f64(ch, n, &m5, &m95);
+    auto norm = [&](const double* ch, double m5, double m95, double* out) {
         double half_sig = (m95 - m5) / 2.0, mid_sig = m5 + half_sig;
         double half_mod = (model[1] - model[0]) / 2.0, mid_mod = model[0] + half_mod;
         double scale = half_mod / half_sig, off = mid_mod - mid_sig * scale;
         for (int64_t i = 0; i < n; ++i)
             out[i] = clip_np(ch[i] * scale + off, model[2], model[3]);
     };
-    norm(morph.data(), morph_n);
-    norm(flt.data(), flt_n);
+    double mo5, mo95;
+    minmax_tails_hist256(morph.data(), n, &mo5, &mo95);
+    norm(morph.data(), mo5, mo95, morph_n);
+    norm(flt.data(), f5, f95, flt_n);
 }
 
 // Upload-oriented preprocessing: same math as preprocess_read, but the
@@ -196,23 +294,23 @@ void preprocess_read_lut(const double* raw, int64_t n, const double* model,
                          float* lut256) {
     std::vector<double> flt(n), morph(n);
     medfilt3_f64(raw, n, flt.data());
-    double med, mad;
-    median_mad_f64(flt.data(), n, &med, &mad);
+    double med, mad, f5, f95;
+    flt_stats(flt.data(), n, &med, &mad, &f5, &f95);
     morph_open_close_f64(flt.data(), n, med, mad, morph.data());
-    auto affine = [&](const double* ch) {
-        double m5, m95;
-        minmax_tails_f64(ch, n, &m5, &m95);
+    auto affine = [&](double m5, double m95) {
         double half_sig = (m95 - m5) / 2.0, mid_sig = m5 + half_sig;
         double half_mod = (model[1] - model[0]) / 2.0, mid_mod = model[0] + half_mod;
         double scale = half_mod / half_sig;
         return std::pair<double, double>(scale, mid_mod - mid_sig * scale);
     };
-    auto mo = affine(morph.data());
+    double mo5, mo95;
+    minmax_tails_hist256(morph.data(), n, &mo5, &mo95);
+    auto mo = affine(mo5, mo95);
     for (int64_t i = 0; i < n; ++i)
         q_out[i] = (uint8_t)morph[i];  // open/close of floor-bins stays in 0..255
     for (int v = 0; v < 256; ++v)
         lut256[v] = (float)clip_np(v * mo.first + mo.second, model[2], model[3]);
-    auto fo = affine(flt.data());
+    auto fo = affine(f5, f95);
     for (int64_t i = 0; i < n; ++i) {
         double v = clip_np(flt[i] * fo.first + fo.second, model[2], model[3]);
         flt64[i] = v;

@@ -125,6 +125,17 @@ def _snap_unroll(v: float) -> int:
 
 WAVE_UNROLL = _snap_unroll(_env_number("STRIQUE_WAVE_UNROLL", 8))
 
+# probe hook (tools/probe_pow.py): alternative lowering for the score's
+# |d|^1.2 transcendental.  None = production jnp.power.  Only the wave
+# kernel consults it; production code never sets it.
+_POW_IMPL = None
+
+
+def _pow12(diff):
+    if _POW_IMPL is not None:
+        return _POW_IMPL(diff)
+    return jnp.power(diff, np.float32(1.2))
+
 
 def kernel_batch(b: int | None = None, n_cols: int | None = None,
                  mp: int | None = None, wave: bool = False) -> int:
@@ -444,7 +455,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         # chain (tools/profile_wave_floor.py: 16.5% of the kernel)
         R = R_pre
         diff = jnp.abs(R - tmpl)
-        sc = jnp.maximum(off - jnp.power(diff, np.float32(1.2)), dmin)
+        sc = jnp.maximum(off - _pow12(diff), dmin)
         ih_ext = Ih + ge_h
         ih_open = S1 + go_h
         newIh = jnp.maximum(ih_ext, ih_open)

@@ -38,7 +38,7 @@ def main():
 
     orig_submit = counter.detect_submit
 
-    def timed_submit(target, raws, strand):
+    def timed_submit(target, raws, strand, preps=None):
         rec = {"B": len(raws), "bucket": signal_bucket(max(len(r) for r in raws))}
         marks = {}
 
@@ -55,7 +55,7 @@ def main():
         t0 = time.perf_counter()
         jnp.asarray = patched_asarray
         try:
-            state = orig_submit(target, raws, strand)
+            state = orig_submit(target, raws, strand, preps)
         finally:
             jnp.asarray = real_asarray
         t1 = time.perf_counter()
