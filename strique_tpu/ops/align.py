@@ -169,7 +169,10 @@ def traceback_pointers(ptrs, j_end, m: int, packed=False, m_start=None):
     layout), ``ptrs`` is (N//8, MP) int32 and column j's code sits in
     nibble (j-1) % 8 of word [(j-1)//8, i-1].  With ``packed='diag'``
     (the wavefront kernel's layout), the code of cell (i, j) sits at
-    diagonal step t = i + j - 1: word [t//8, i-1], nibble t % 8.
+    diagonal step t = i + j - 1: word [t//8, i], nibble t % 8 — and the
+    V-extend bit lives at its SOURCE cell (bit 3 of (i, j) answers
+    "does Iv(i+1, j) extend from here"), so the walk reads it from the
+    cell it steps to; the kernel then needs no cross-step pointer carry.
     Returns per-template-element gap flags and signal positions plus
     ``j_begin``.  ``m_start`` (traced) overrides the walk's start row
     for per-row template lengths (flank-fused batches); ``m`` stays the
@@ -178,7 +181,7 @@ def traceback_pointers(ptrs, j_end, m: int, packed=False, m_start=None):
     if packed == "diag":
         def lookup(jc, ic):
             t = jnp.maximum(ic + jc - 1, 0)
-            word = ptrs[t // 8, ic - 1]
+            word = ptrs[t // 8, ic]
             nib = (word >> (4 * (t % 8))) & 15
             return jnp.where(jc > 0, nib.astype(jnp.uint8), jnp.uint8(MAT_V | 8))
     elif packed:
@@ -213,9 +216,13 @@ def traceback_pointers(ptrs, j_end, m: int, packed=False, m_start=None):
         jpos = jnp.where(sel, j - 1, jpos)
         ni = jnp.where(is_h, i, i - 1)
         nj = jnp.where(is_v, j, j - 1)
-        ext = jnp.where(is_h, (byte >> 2) & 1, (byte >> 3) & 1)
-        stay = (~is_m) & (ext == 1)
         nbyte = lookup(nj, ni)
+        # diag layout: the V-extend bit lives at its source cell (the one
+        # being stepped to); column/unpacked layouts keep it at the
+        # current cell.  Same value either way — see the kernel comment.
+        vext_src = nbyte if packed == "diag" else byte
+        ext = jnp.where(is_h, (byte >> 2) & 1, (vext_src >> 3) & 1)
+        stay = (~is_m) & (ext == 1)
         ncur = jnp.where(stay, cur, jnp.where(ni > 0, (nbyte & 3).astype(jnp.int32), MAT_M))
         return ni, nj, ncur, nbyte, is_gap, jpos
 
@@ -473,13 +480,12 @@ def _longread_pass2(st: dict) -> dict:
         np.full((B, mp), NEG, np.float32),
         np.full((B, mp), NEG, np.float32),
         np.full((B, mp), NEG, np.float32),
-        np.zeros((B, mp), np.int32),
     ]
-    state5 = []
-    for k in range(5):
+    state4 = []
+    for k in range(4):
         warm = np.asarray(jnp.take_along_axis(
             st["ckpts"][k], slot_d[None, :, None], axis=0)[0])
-        state5.append(np.where(cold[:, None] == 1, cold_state[k], warm))
+        state4.append(np.where(cold[:, None] == 1, cold_state[k], warm))
     # per-read signal window + reversed pre-window, gathered ON DEVICE
     # from the already-uploaded signals (no B x W host copies/uploads)
     sig_win, r_init = _gather_windows(st["sig_dev"], put(t0.astype(np.int32)), W, mp)
@@ -487,7 +493,7 @@ def _longread_pass2(st: dict) -> dict:
 
     _count_cells(B, W, mp)  # pass 2 (windowed pointer recompute)
     ptr = align_window_from_state(
-        sig_win, r_init, tuple(put(x) for x in state5), put(cold),
+        sig_win, r_init, tuple(put(x) for x in state4), put(cold),
         put(steps_needed), st["tmpl_dev"], params, m)
 
     # traceback per read in local step space (j_local = j_global - t0)

@@ -383,14 +383,16 @@ def pad_template(template: np.ndarray) -> tuple[np.ndarray, int]:
 #
 # Replaces the reference's SeqAn full-matrix DP
 # (reference src/align_raw.h:117-158) like the column kernel; pointer
-# nibble for cell (i, j) lives at word [(i+j-1)//8, read, i-1], nibble
-# (i+j-1) % 8 (diagonal-major — see traceback_pointers packed='diag').
+# nibble for cell (i, j) lives at word [(i+j-1)//8, read, i], nibble
+# (i+j-1) % 8 (diagonal-major — see traceback_pointers packed='diag';
+# the V-extend bit is stored at its source cell, one row up from where
+# the column layout keeps it).
 
 
 def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                  with_ptr: bool,
                  sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref,
-                 S1_ref, S2_ref, Ih_ref, C_ref, BV_ref, R_ref,
+                 S1_ref, S2_ref, Ih_ref, C_ref, R_ref,
                  ckpt_refs=None, ckpt_chunks: int = 0,
                  init_refs=None, cold_ref=None, window_mode: bool = False,
                  mrow_ref=None):
@@ -420,8 +422,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             S2_ref[:, :] = init_refs[1][:, :]
             Ih_ref[:, :] = init_refs[2][:, :]
             C_ref[:, :] = init_refs[3][:, :]
-            BV_ref[:, :] = init_refs[4][:, :]
-            R_ref[:, :] = init_refs[5][:, :]
+            R_ref[:, :] = init_refs[4][:, :]
         else:
             # step -1 state: only lane 0 (cell (0,0): S=0, Ih=NEG) is ever
             # read before the wavefront forces a lane's column-0 boundary
@@ -429,7 +430,6 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             S2_ref[:, :] = jnp.full((batch, mp), NEG)
             Ih_ref[:, :] = jnp.full((batch, mp), NEG)
             C_ref[:, :] = jnp.full((batch, mp), NEG)
-            BV_ref[:, :] = jnp.zeros((batch, mp), jnp.int32)
             R_ref[:, :] = jnp.full((batch, mp), NEG)
 
     tmpl = tmpl_ref[:, :]  # (1, mp) shared, or (B, mp) per-read templates
@@ -447,7 +447,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
     neg_h = params.gap_open_h < 0 and params.gap_extension_h <= 0
 
     def diag_body(c_in, u, force_boundary, carry, R_pre):
-        S1, S2, Ih, C, BV, R, rot, bt, acc = carry
+        S1, S2, Ih, C, R, rot, bt, acc = carry
         t = chunk * CHUNK + c_in  # global 0-based diagonal step
         # R_pre: this step's reversed signal window, precomputed OFF the
         # serial chain (see make_body8) — the former per-step rot rotate
@@ -473,15 +473,16 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         if with_ptr:
             which = jnp.where(newM >= newS, 0, jnp.where(newIv >= newS, 2, 1))
             ihx = (ih_ext >= ih_open).astype(jnp.int32) << 2
-            # Iv-extend bit of row i tests row i-1 of the SAME column — one
-            # diagonal back, one lane down: carry the comparison and shift it
-            ivx = shift1(BV, 0) << 3
-            newBV = (newIv + ge_v >= newS + go_v).astype(jnp.int32)
+            # V-extend bit stored UNSHIFTED at its source cell: bit 3 of
+            # cell (i, j) answers "does Iv(i+1, j) extend from here"; the
+            # traceback reads it from the cell it steps TO
+            # (ops.align.traceback_pointers), which removes the former
+            # per-step BV carry + lane shift AND the pointer-word rotate
+            # (codes now pack at lane i, not i-1) — two serial lane
+            # permutes per step gone
+            ivx = (newIv + ge_v >= newS + go_v).astype(jnp.int32) << 3
             pbi = which | ihx | ivx
-            pb_shifted = jnp.concatenate([pbi[:, 1:], pbi[:, :1]], axis=1)
-            acc = acc | (pb_shifted << (4 * u))
-        else:
-            newBV = BV
+            acc = acc | (pbi << (4 * u))
         if force_boundary:
             # the cell (t+1, 0) enters the valid region next step: pin its
             # column-0 boundary (cheap select; only the first MP steps
@@ -508,7 +509,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             bval = jnp.where(live, newS[:, m_actual : m_actual + 1], NEG)
         # the step's bottom tap returns to body8, which assembles 8 taps
         # into the tile with ONE concat per word (off the serial chain)
-        return S1, newS, newIh, newC, newBV, R, rot, bval, acc
+        return S1, newS, newIh, newC, R, rot, bval, acc
         # note the rotation: S2' = S1 happens via positional return order
 
     unroll = WAVE_UNROLL
@@ -517,7 +518,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         def body8(q, carry):
             # ``unroll`` steps per fori iteration (8 per pointer word):
             # larger windows amortize the loop carry at some compile cost
-            S1, S2, Ih, C, BV, R, rot, bt = carry
+            S1, S2, Ih, C, R, rot, bt = carry
             for w in range(unroll // 8):
                 # parallel-R: the word's 8 reversed-window states derive
                 # from the word-base R + 8 STATIC signal lanes of rot —
@@ -532,9 +533,9 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                 acc = jnp.zeros((batch, mp), jnp.int32)
                 bvals = []
                 for u in range(8):
-                    S2, S1, Ih, C, BV, _R, rot, bval, acc = diag_body(
+                    S2, S1, Ih, C, _R, rot, bval, acc = diag_body(
                         q * unroll + w * 8 + u, u, force_boundary,
-                        (S1, S2, Ih, C, BV, R, rot, None, acc), R_pres[u])
+                        (S1, S2, Ih, C, R, rot, None, acc), R_pres[u])
                     bvals.append(bval)
                 R = R_pres[7]
                 # one 8-tap assembly per word instead of a serial
@@ -544,7 +545,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                 if with_ptr:
                     ptr_ref[q * (unroll // 8) + w, :, :] = acc
             rot = jnp.concatenate([rot[:, unroll:], rot[:, :unroll]], axis=1)
-            return S1, S2, Ih, C, BV, R, rot, bt
+            return S1, S2, Ih, C, R, rot, bt
         return body8
 
     # early exit: every pointer the traceback can visit satisfies
@@ -560,15 +561,14 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
 
     def _sweep(force_boundary):
         carry0 = (S1_ref[:, :], S2_ref[:, :], Ih_ref[:, :], C_ref[:, :],
-                  BV_ref[:, :], R_ref[:, :], sig_tile,
+                  R_ref[:, :], sig_tile,
                   jnp.zeros((batch, CHUNK), jnp.float32))
-        S1f, S2f, Ihf, Cf, BVf, Rf, _rotf, btf = jax.lax.fori_loop(
+        S1f, S2f, Ihf, Cf, Rf, _rotf, btf = jax.lax.fori_loop(
             0, CHUNK // unroll, make_body8(force_boundary), carry0)
         S1_ref[:, :] = S1f
         S2_ref[:, :] = S2f
         Ih_ref[:, :] = Ihf
         C_ref[:, :] = Cf
-        BV_ref[:, :] = BVf
         R_ref[:, :] = Rf
         bottom_ref[:, :] = btf
         if ckpt_refs is not None:
@@ -580,7 +580,6 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
             ckpt_refs[1][0, :, :] = S2f
             ckpt_refs[2][0, :, :] = Ihf
             ckpt_refs[3][0, :, :] = Cf
-            ckpt_refs[4][0, :, :] = BVf
 
     @pl.when((chunk < n_chunks_boundary) & (chunk * CHUNK < mx))
     def _run_boundary():
@@ -605,7 +604,7 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
     ND = N + MP diagonal steps; bottom_steps[:, t] holds the bottom-row
     score of column j = t + 1 - m_actual (NEG outside [1, n_actual]),
     and the pointer nibble of cell (i, j) lives at word
-    [(i+j-1)//8, read, i-1], nibble (i+j-1) % 8.  With
+    [(i+j-1)//8, read, i], nibble (i+j-1) % 8.  With
     ``with_ptr=False`` the pointer plane is neither computed nor
     allocated (score-only forward; returns (None, bottom_steps)).
     """
@@ -644,14 +643,7 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.int32),
-            pltpu.VMEM((B, mp), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((B, mp), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(sig_ext, template_padded, n_actual[:, None].astype(jnp.int32))
     if with_ptr:
@@ -703,14 +695,7 @@ def align_forward_wave_multi(signals, n_actual, template_rows, m_rows,
             jax.ShapeDtypeStruct((nd // 8, B, mp), jnp.int32),
             jax.ShapeDtypeStruct((B, nd), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.int32),
-            pltpu.VMEM((B, mp), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((B, mp), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(sig_ext, template_rows, n_actual[:, None].astype(jnp.int32),
       m_rows[:, None].astype(jnp.int32))
@@ -772,9 +757,11 @@ def align_forward_ckpt(signals, n_actual, template_padded, params: AlignParams,
                        m_actual: int, ckpt_chunks: int):
     """Pass 1: score-only forward with diagonal-state checkpoints.
 
-    Returns (bottom_steps (B, ND), ckpts) where ckpts is a 5-tuple of
-    (ND/(ckpt_chunks*CHUNK), B, MP) planes (S1, S2, Ih, C f32; BV i32):
+    Returns (bottom_steps (B, ND), ckpts) where ckpts is a 4-tuple of
+    (ND/(ckpt_chunks*CHUNK), B, MP) f32 planes (S1, S2, Ih, C):
     slot g holds the state after diagonal step (g+1)*ckpt_chunks*CHUNK-1.
+    (The V-extend pointer bit is computed per step from the restart
+    state, so no pointer-comparison plane needs checkpointing.)
     """
     B, N = signals.shape
     assert B % 8 == 0 and N % CHUNK == 0
@@ -787,11 +774,11 @@ def align_forward_ckpt(signals, n_actual, template_padded, params: AlignParams,
     n_chunks_boundary = mp // CHUNK + 1
     interpret = jax.default_backend() != "tpu"
 
-    def kern(sig_ref, tmpl_ref, nact_ref, bottom_ref, s1c, s2c, ihc, cc, bvc,
+    def kern(sig_ref, tmpl_ref, nact_ref, bottom_ref, s1c, s2c, ihc, cc,
              *scratch):
         _wave_kernel(params, m_actual, n_chunks_boundary, False,
                      sig_ref, tmpl_ref, nact_ref, None, bottom_ref, *scratch,
-                     ckpt_refs=(s1c, s2c, ihc, cc, bvc), ckpt_chunks=ckpt_chunks)
+                     ckpt_refs=(s1c, s2c, ihc, cc), ckpt_chunks=ckpt_chunks)
 
     ck_spec = pl.BlockSpec((1, B, mp), lambda i, _c=ckpt_chunks: (i // _c, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -804,36 +791,23 @@ def align_forward_ckpt(signals, n_actual, template_padded, params: AlignParams,
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
-                   ck_spec, ck_spec, ck_spec, ck_spec, ck_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nd), jnp.float32),
-            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
-            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
-            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
-            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32),
-            jax.ShapeDtypeStruct((n_ck, B, mp), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.int32),
-            pltpu.VMEM((B, mp), jnp.float32),
-        ],
+                   ck_spec, ck_spec, ck_spec, ck_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, nd), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n_ck, B, mp), jnp.float32) for _ in range(4)],
+        scratch_shapes=[pltpu.VMEM((B, mp), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(sig_ext, template_padded, n_actual[:, None].astype(jnp.int32))
     return outs[0], tuple(outs[1:])
 
 
 @partial(jax.jit, static_argnames=("params", "m_actual"))
-def align_window_from_state(sig_win, r_init, state5, cold, steps_needed,
+def align_window_from_state(sig_win, r_init, state4, cold, steps_needed,
                             template_padded, params: AlignParams, m_actual: int):
     """Pass 2: pointer-forward over a window, resuming from saved state.
 
     sig_win: (B, W) — per-read signal samples a[t0 .. t0+W) in diagonal
     step space; r_init: (B, MP) — lane i holds a[t0-1-i] (the reversed
-    window preceding the restart); state5: (S1, S2, Ih, C, BV) at step
+    window preceding the restart); state4: (S1, S2, Ih, C) at step
     t0-1 (host passes cold-start values with cold=1 for reads whose
     window starts at 0); steps_needed: (B,) local steps to compute
     (t_end - t0 + 1).  Returns the (W//8, B, MP) pointer plane in local
@@ -846,11 +820,11 @@ def align_window_from_state(sig_win, r_init, state5, cold, steps_needed,
     n_chunks_boundary = mp // CHUNK + 1
     interpret = jax.default_backend() != "tpu"
 
-    def kern(sig_ref, tmpl_ref, nact_ref, s1i, s2i, ihi, ci, bvi, ri, cold_ref,
+    def kern(sig_ref, tmpl_ref, nact_ref, s1i, s2i, ihi, ci, ri, cold_ref,
              ptr_ref, bottom_ref, *scratch):
         _wave_kernel(params, m_actual, n_chunks_boundary, True,
                      sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch,
-                     init_refs=(s1i, s2i, ihi, ci, bvi, ri), cold_ref=cold_ref,
+                     init_refs=(s1i, s2i, ihi, ci, ri), cold_ref=cold_ref,
                      window_mode=True)
 
     full_spec = pl.BlockSpec((B, mp), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -861,7 +835,7 @@ def align_window_from_state(sig_win, r_init, state5, cold, steps_needed,
             pl.BlockSpec((B, CHUNK), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            full_spec, full_spec, full_spec, full_spec, full_spec, full_spec,
+            full_spec, full_spec, full_spec, full_spec, full_spec,
             pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -872,16 +846,9 @@ def align_window_from_state(sig_win, r_init, state5, cold, steps_needed,
             jax.ShapeDtypeStruct((W // 8, B, mp), jnp.int32),
             jax.ShapeDtypeStruct((B, W), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.float32),
-            pltpu.VMEM((B, mp), jnp.int32),
-            pltpu.VMEM((B, mp), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((B, mp), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(sig_win, template_padded, steps_needed[:, None].astype(jnp.int32),
-      state5[0], state5[1], state5[2], state5[3], state5[4], r_init,
+      state4[0], state4[1], state4[2], state4[3], r_init,
       cold[:, None].astype(jnp.int32))
     return ptr
