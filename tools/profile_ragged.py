@@ -35,9 +35,9 @@ def main():
     orig_submit = counter.detect_submit
     orig_finish = counter.detect_finish
 
-    def timed_submit(target, raws, strand):
+    def timed_submit(target, raws, strand, preps=None):
         t0 = time.perf_counter()
-        state = orig_submit(target, raws, strand)
+        state = orig_submit(target, raws, strand, preps)
         state["_t_submit"] = (time.perf_counter() - t0) * 1e3
         state["_meta"] = (strand, len(raws), signal_bucket(max(len(r) for r in raws)))
         return state

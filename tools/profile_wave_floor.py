@@ -68,14 +68,19 @@ def main():
         for _ in range(5))
     print(f"flat sync cost {sync*1e3:6.1f} ms (subtracted)")
 
-    def timed(name, call, steps, reps=5):
-        call()  # compile + warm
+    def timed(name, call, steps, reps=3, k=4):
+        """``call`` returns an un-synced device value; K calls amortize the
+        tunnel's flat D2H sync latency (which drifts tens of ms between
+        syncs — per-call subtraction produced negative times)."""
+        np.asarray(call())  # compile + warm + sync
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            call()
+            for _ in range(k - 1):
+                call()
+            np.asarray(call())
             ts.append(time.perf_counter() - t0)
-        t = min(ts) - sync
+        t = (min(ts) - sync) / k
         per_step = t / steps * 1e6
         print(f"{name:28s} {t*1e3:8.2f} ms   {per_step:7.3f} us/step")
         return per_step
@@ -89,7 +94,7 @@ def main():
         def call():
             ptr, bottom = AP.align_forward_wave(sig, na, jnp.asarray(tmpl_padded),
                                                 params, m, with_ptr)
-            np.asarray(jnp.sum(bottom))
+            return jnp.sum(bottom)
         return call
 
     results["prod_full_us_step"] = timed("production (ptr)", run_prod(True), nd)
@@ -246,7 +251,7 @@ def main():
         fwd = make_ablated(**kw)
         def call():
             ptr, bottom = fwd(sig, na, jnp.asarray(tmpl_padded))
-            np.asarray(jnp.sum(bottom))
+            return jnp.sum(bottom)
         return call
 
     base = timed("ablation-baseline", run_abl(), nd)
@@ -318,7 +323,7 @@ def main():
     for k in ks:
         fwd = make_chain(k)
         def call(f=fwd):
-            np.asarray(jnp.sum(f(sig)))
+            return jnp.sum(f(sig))
         chain[k] = timed(f"chain k={k:2d}", call, nd)
     results["chain_us_step"] = {str(k): v for k, v in chain.items()}
     # least-squares fit a + b*k
@@ -331,7 +336,7 @@ def main():
     # shift-heavy chain (every 4th op a lane shift), k=12 ~ real chain mix
     fwd = make_chain(12, with_shift=True)
     def call12(f=fwd):
-        np.asarray(jnp.sum(f(sig)))
+        return jnp.sum(f(sig))
     results["chain12_shift_us_step"] = timed("chain k=12 (with shifts)", call12, nd)
 
     # the real kernel's carry-to-carry serial chain, by inspection of
