@@ -142,33 +142,37 @@ void morph_open_close_f64(const double* flt, int64_t n, double med, double mad,
     win_reduce(t.data(), n, l, w - 1 - l, true, out);         // erode (close)
 }
 
-// Tail medians for minmax normalization (reference STRique.py:152-158).
-// Returns m5 and m95: medians of the <1st / >99th percentile tails.
-// Selection-based: only the ~n/100 elements of each tail are ever sorted
-// (two nth_element partitions + two tiny sorts), replacing the full
-// O(n log n) sort that dominated per-read prep.  Every output is an exact
-// function of order statistics, so results are bit-identical to the
-// sort-everything version.
-void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
-    std::vector<double> v(x, x + n);
-    // percentile anchor positions (numpy linear interpolation)
+// Percentile anchor positions (numpy linear interpolation); the exact
+// expressions below are the bit-identity contract shared by every tail
+// implementation in this file (selection, histogram, fused flt stats).
+struct TailAnchors { int64_t lo1, hi1, lo99, hi99; double w1, w99; };
+
+static TailAnchors tail_anchors(int64_t n) {
     auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
         double pos = (n - 1) * q / 100.0;
         *lo = (int64_t)std::floor(pos);
         *hi = std::min(*lo + 1, n - 1);
         *w = pos - *lo;
     };
-    int64_t lo1, hi1, lo99, hi99;
-    double w1, w99;
-    anchor(1.0, &lo1, &hi1, &w1);
-    anchor(99.0, &lo99, &hi99, &w99);
+    TailAnchors a;
+    anchor(1.0, &a.lo1, &a.hi1, &a.w1);
+    anchor(99.0, &a.lo99, &a.hi99, &a.w99);
+    return a;
+}
+
+// Selection-based tail medians over a caller-supplied scratch copy ``v``
+// of ``x`` (nth_element is permutation-independent, so callers may have
+// already run other selections on v — results stay bit-identical).
+static void minmax_tails_core(std::vector<double>& v, const double* x, int64_t n,
+                              double* m5, double* m95) {
+    TailAnchors a = tail_anchors(n);
     // partition: ranks [0, hi1] at the front, ranks [lo99, n) at the back
-    std::nth_element(v.begin(), v.begin() + hi1, v.end());
-    std::sort(v.begin(), v.begin() + hi1 + 1);
-    std::nth_element(v.begin() + hi1 + 1, v.begin() + std::max(lo99, hi1 + 1), v.end());
-    std::sort(v.begin() + std::max(lo99, hi1 + 1), v.end());
-    double q5 = v[lo1] * (1.0 - w1) + v[hi1] * w1;
-    double q95 = v[lo99] * (1.0 - w99) + v[hi99] * w99;
+    std::nth_element(v.begin(), v.begin() + a.hi1, v.end());
+    std::sort(v.begin(), v.begin() + a.hi1 + 1);
+    std::nth_element(v.begin() + a.hi1 + 1, v.begin() + std::max(a.lo99, a.hi1 + 1), v.end());
+    std::sort(v.begin() + std::max(a.lo99, a.hi1 + 1), v.end());
+    double q5 = v[a.lo1] * (1.0 - a.w1) + v[a.hi1] * a.w1;
+    double q95 = v[a.lo99] * (1.0 - a.w99) + v[a.hi99] * a.w99;
     // tail sizes by linear count over the raw data (a range-limited
     // binary search misses tail elements that land in the *other* sorted
     // block when the blocks touch at tiny n, e.g. n == 2);
@@ -183,6 +187,18 @@ void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
     }
     *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
     *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
+}
+
+// Tail medians for minmax normalization (reference STRique.py:152-158).
+// Returns m5 and m95: medians of the <1st / >99th percentile tails.
+// Selection-based: only the ~n/100 elements of each tail are ever sorted
+// (two nth_element partitions + two tiny sorts), replacing the full
+// O(n log n) sort that dominated per-read prep.  Every output is an exact
+// function of order statistics, so results are bit-identical to the
+// sort-everything version.
+void minmax_tails_f64(const double* x, int64_t n, double* m5, double* m95) {
+    std::vector<double> v(x, x + n);
+    minmax_tails_core(v, x, n, m5, m95);
 }
 
 // Tail medians of the quantized morph channel via a 256-bin histogram.
@@ -203,18 +219,9 @@ static void minmax_tails_hist256(const double* x, int64_t n, double* m5, double*
         while (cum[v + 1] <= k) ++v;
         return (double)v;
     };
-    auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
-        double pos = (n - 1) * q / 100.0;
-        *lo = (int64_t)std::floor(pos);
-        *hi = std::min(*lo + 1, n - 1);
-        *w = pos - *lo;
-    };
-    int64_t lo1, hi1, lo99, hi99;
-    double w1, w99;
-    anchor(1.0, &lo1, &hi1, &w1);
-    anchor(99.0, &lo99, &hi99, &w99);
-    double q5 = kth(lo1) * (1.0 - w1) + kth(hi1) * w1;
-    double q95 = kth(lo99) * (1.0 - w99) + kth(hi99) * w99;
+    TailAnchors a = tail_anchors(n);
+    double q5 = kth(a.lo1) * (1.0 - a.w1) + kth(a.hi1) * a.w1;
+    double q95 = kth(a.lo99) * (1.0 - a.w99) + kth(a.hi99) * a.w99;
     int64_t c5 = 0, c95 = 0;
     for (int v = 0; v < 256; ++v) {
         if ((double)v < q5) c5 += hist[v];
@@ -226,8 +233,8 @@ static void minmax_tails_hist256(const double* x, int64_t n, double* m5, double*
 }
 
 // med + MAD + minmax tail medians of the flt channel from ONE scratch copy
-// (median_mad_f64 and minmax_tails_f64 each re-copy the channel; the
-// nth_element partitions are permutation-independent, so running all three
+// (the standalone helpers each re-copy the channel; the nth_element
+// partitions are permutation-independent, so chaining all three
 // selections on one buffer is bit-identical).
 static void flt_stats(const double* x, int64_t n, double* med, double* mad,
                       double* m5, double* m95) {
@@ -237,29 +244,7 @@ static void flt_stats(const double* x, int64_t n, double* med, double* mad,
     double s = 0;
     for (int64_t i = 0; i < n; ++i) s += std::fabs(x[i] - *med);
     *mad = s / n;
-    auto anchor = [&](double q, int64_t* lo, int64_t* hi, double* w) {
-        double pos = (n - 1) * q / 100.0;
-        *lo = (int64_t)std::floor(pos);
-        *hi = std::min(*lo + 1, n - 1);
-        *w = pos - *lo;
-    };
-    int64_t lo1, hi1, lo99, hi99;
-    double w1, w99;
-    anchor(1.0, &lo1, &hi1, &w1);
-    anchor(99.0, &lo99, &hi99, &w99);
-    std::nth_element(v.begin(), v.begin() + hi1, v.end());
-    std::sort(v.begin(), v.begin() + hi1 + 1);
-    std::nth_element(v.begin() + hi1 + 1, v.begin() + std::max(lo99, hi1 + 1), v.end());
-    std::sort(v.begin() + std::max(lo99, hi1 + 1), v.end());
-    double q5 = v[lo1] * (1.0 - w1) + v[hi1] * w1;
-    double q95 = v[lo99] * (1.0 - w99) + v[hi99] * w99;
-    int64_t c5 = 0, c95 = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        c5 += x[i] < q5;
-        c95 += x[i] > q95;
-    }
-    *m5 = c5 ? 0.5 * (v[(c5 - 1) / 2] + v[c5 / 2]) : std::nan("");
-    *m95 = c95 ? 0.5 * (v[n - c95 + (c95 - 1) / 2] + v[n - c95 + c95 / 2]) : std::nan("");
+    minmax_tails_core(v, x, n, m5, m95);
 }
 
 // Full per-read preprocessing: raw signal -> normalized morph/flt channels.

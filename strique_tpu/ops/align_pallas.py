@@ -125,15 +125,15 @@ def _snap_unroll(v: float) -> int:
 
 WAVE_UNROLL = _snap_unroll(_env_number("STRIQUE_WAVE_UNROLL", 8))
 
-# probe hook (tools/probe_pow.py): alternative lowering for the score's
-# |d|^1.2 transcendental.  None = production jnp.power.  Only the wave
-# kernel consults it; production code never sets it.
-_POW_IMPL = None
-
-
 def _pow12(diff):
-    if _POW_IMPL is not None:
-        return _POW_IMPL(diff)
+    """The score's |d|^1.2 transcendental (reference src/score_distance.h:120).
+
+    jnp.power is the PINNED production expression: every kernel (wave,
+    column, XLA scan) and the regression-pinned golden/parity score
+    stream share its exact f32 rounding.  A measured ~25% kernel win is
+    available by switching to exp2(1.2*log2(d)) — NOT bit-identical, so
+    taking it means re-pinning the f32 score stream across kernels,
+    golden values, and PARITY.md (tools/probe_pow.py, POW_PROBE.json)."""
     return jnp.power(diff, np.float32(1.2))
 
 
@@ -395,7 +395,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
                  S1_ref, S2_ref, Ih_ref, C_ref, R_ref,
                  ckpt_refs=None, ckpt_chunks: int = 0,
                  init_refs=None, cold_ref=None, window_mode: bool = False,
-                 mrow_ref=None):
+                 mrow_ref=None, pow_impl=None):
     go_h = np.float32(params.gap_open_h)
     go_v = np.float32(params.gap_open_v)
     ge_h = np.float32(params.gap_extension_h)
@@ -455,7 +455,7 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         # chain (tools/profile_wave_floor.py: 16.5% of the kernel)
         R = R_pre
         diff = jnp.abs(R - tmpl)
-        sc = jnp.maximum(off - _pow12(diff), dmin)
+        sc = jnp.maximum(off - (pow_impl or _pow12)(diff), dmin)
         ih_ext = Ih + ge_h
         ih_open = S1 + go_h
         newIh = jnp.maximum(ih_ext, ih_open)
@@ -594,9 +594,9 @@ def _wave_kernel(params: AlignParams, m_actual: int, n_chunks_boundary: int,
         bottom_ref[:, :] = jnp.full((batch, CHUNK), NEG, jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("params", "m_actual", "with_ptr"))
+@partial(jax.jit, static_argnames=("params", "m_actual", "with_ptr", "pow_impl"))
 def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
-                       m_actual: int, with_ptr: bool = True):
+                       m_actual: int, with_ptr: bool = True, pow_impl=None):
     """Wavefront forward DP for a batch of B reads.
 
     signals: (B, N) float32, N a multiple of CHUNK.  Returns
@@ -607,6 +607,8 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
     [(i+j-1)//8, read, i], nibble (i+j-1) % 8.  With
     ``with_ptr=False`` the pointer plane is neither computed nor
     allocated (score-only forward; returns (None, bottom_steps)).
+    ``pow_impl`` (static; measurement only — tools/probe_pow.py) swaps
+    the score's |d|^1.2 lowering; None = production jnp.power.
     """
     B, N = signals.shape
     assert B % 8 == 0 and N % CHUNK == 0
@@ -631,7 +633,8 @@ def align_forward_wave(signals, n_actual, template_padded, params: AlignParams,
             ptr_ref, bottom_ref = None, rest[0]
             scratch = rest[1:]
         _wave_kernel(params, m_actual, n_chunks_boundary, with_ptr,
-                     sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch)
+                     sig_ref, tmpl_ref, nact_ref, ptr_ref, bottom_ref, *scratch,
+                     pow_impl=pow_impl)
 
     outs = pl.pallas_call(
         kern,

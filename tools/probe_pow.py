@@ -1,18 +1,21 @@
 """Probe cheaper Mosaic lowerings for the score's |d|^1.2 transcendental.
 
-WAVE_FLOOR.json's ablation puts jnp.power(d, 1.2) at ~0.4 us/step of the
-wave kernel's ~1.1 us/step (the largest single issue cost; the score sc
-is off the serial chain, so this is pure VPU issue pressure).  This tool
-times the production wave kernel with the pow expression swapped for
-candidate formulations, and checks each candidate's full kernel outputs
-(pointer plane + bottom row) BITWISE against the production kernel:
+WAVE_FLOOR.json's ablation puts jnp.power(d, 1.2) at ~0.37 us/step of
+the wave kernel's ~1.0 us/step (the largest single issue cost; the
+score sc is off the serial chain, so this is pure VPU issue pressure).
+This tool times the production wave kernel with the pow expression
+swapped via the ``pow_impl`` static arg of align_forward_wave, and
+checks each candidate's full kernel outputs (pointer plane + bottom
+row) BITWISE against the production kernel:
 
   power      jnp.power(d, 1.2)                      (production)
   exp-log    jnp.exp(1.2 * jnp.log(d))
   exp2-log2  jnp.exp2(1.2 * jnp.log2(d))
-  x*exp2     d * jnp.exp2(0.2 * jnp.log2(d))        (one fewer octave?)
+  x*exp2     d * jnp.exp2(0.2 * jnp.log2(d))
 
-A candidate is a free swap only when bit-identical AND faster.  Writes
+Timing amortizes the tunnel's drifting flat D2H sync latency over K
+deferred-sync calls (per-call subtraction produced negative times).  A
+candidate is a free swap only when bit-identical AND faster.  Writes
 POW_PROBE.json.
 
 Usage: python tools/probe_pow.py    (real TPU)
@@ -53,26 +56,21 @@ def main():
     mp = tmpl_padded.shape[1]
     nd = N + mp
 
-    tiny = jnp.ones((8, 128))
-    np.asarray(jnp.sum(tiny))
-    sync = min(
-        (lambda t0: (np.asarray(jnp.sum(tiny)), time.perf_counter() - t0)[1])(time.perf_counter())
-        for _ in range(5))
-    print(f"flat sync cost {sync*1e3:6.1f} ms (subtracted)")
-
-    def timed(name, call, reps=5):
-        call()
+    def timed(name, call, reps=3, k=4):
+        np.asarray(call())  # compile + warm + sync
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            call()
-            ts.append(time.perf_counter() - t0)
-        t = min(ts) - sync
-        per_step = t / nd * 1e6
-        print(f"{name:16s} {t*1e3:8.2f} ms   {per_step:7.3f} us/step")
+            for _ in range(k - 1):
+                call()
+            np.asarray(call())
+            ts.append((time.perf_counter() - t0) / k)
+        per_step = min(ts) / nd * 1e6
+        print(f"{name:16s} {min(ts)*1e3:8.2f} ms   {per_step:7.3f} us/step")
         return per_step
 
-    results = {"shape": {"B": B, "N": N, "MP": mp, "ND": nd}}
+    results = {"shape": {"B": B, "N": N, "MP": mp, "ND": nd},
+               "timing": "amortized_k4"}
 
     variants = {
         "power": None,  # production expression
@@ -83,28 +81,22 @@ def main():
 
     ref_ptr = ref_bot = None
     for name, impl in variants.items():
-        AP._POW_IMPL = impl  # probe hook (see align_pallas sc computation)
-        try:
-            fwd = AP.align_forward_wave.__wrapped__  # unjitted
-            jit_fwd = jax.jit(fwd, static_argnames=("params", "m_actual", "with_ptr"))
+        def call(impl=impl):
+            ptr, bottom = AP.align_forward_wave(sig, na, tp, params, m, True,
+                                                pow_impl=impl)
+            return jnp.sum(bottom)
 
-            def call():
-                ptr, bottom = jit_fwd(sig, na, tp, params, m, True)
-                np.asarray(jnp.sum(bottom))
-
-            ptr, bottom = jit_fwd(sig, na, tp, params, m, True)
-            ptr, bottom = np.asarray(ptr), np.asarray(bottom)
-            if name == "power":
-                ref_ptr, ref_bot = ptr, bottom
-                same = True
-            else:
-                same = bool((ptr == ref_ptr).all()) and bool((bottom == ref_bot).all())
-                nb = int((bottom != ref_bot).sum())
-                print(f"  {name}: bit-identical={same} (bottom diffs {nb})")
-            results[f"{name}_us_step"] = timed(name, call)
-            results[f"{name}_bit_identical"] = same
-        finally:
-            AP._POW_IMPL = None
+        ptr, bottom = AP.align_forward_wave(sig, na, tp, params, m, True,
+                                            pow_impl=impl)
+        ptr, bottom = np.asarray(ptr), np.asarray(bottom)
+        if name == "power":
+            ref_ptr, ref_bot = ptr, bottom
+            same = True
+        else:
+            same = bool((ptr == ref_ptr).all()) and bool((bottom == ref_bot).all())
+            print(f"  {name}: bit-identical={same}")
+        results[f"{name}_us_step"] = timed(name, call)
+        results[f"{name}_bit_identical"] = same
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                             "POW_PROBE.json")
